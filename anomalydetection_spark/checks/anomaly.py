@@ -1,0 +1,199 @@
+"""Anomaly-score checks: robust z-score (1-D) and Mahalanobis (k-D).
+
+Distributed re-expression of the reference's recommender kernel
+(``/root/reference/PRIME_App/utils.R:101-296``, SURVEY.md §2.11 K1):
+
+  * moments come from ONE DataFrame aggregation (sums, counts, pairwise
+    cross-products — Spark's partial+final hash agg is the merge pass);
+  * the k×k matrix math (inverse) is driver-side numpy on the collected
+    k×k result — k is tiny, the table is not;
+  * per-row scoring is a pure Column expression
+    ``Σ_ij Sinv[i][j]·(x_i−μ_i)·(x_j−μ_j)`` — whole-stage-codegen'd
+    JVM arithmetic, no Python in the hot path (the reference loops rows
+    in interpreted R at ``utils.R:207-272``);
+  * the χ² cutoff is a driver-side constant (``qchisq(.95, k)`` analog
+    via functions/stats_math.py).
+
+The reference's *sparse* variant (NULL-pattern Mahalanobis via
+``modi::MDmiss`` + conditional-expectation estimates) lives in
+kernels/recommender.py in compat mode; this module is the dense
+full-scale path for the image feature vector (w, h, byte_length, …).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from anomalydetection_spark.checks.base import Check, VIOLATION_KEY_COL, verdict
+from anomalydetection_spark.functions.stats_math import chi2_ppf
+
+
+class RobustZScoreCheck(Check):
+    """Flag rows where |x − median| / (1.4826·MAD) > threshold.
+
+    Median/MAD via ``percentile_approx`` (mergeable KLL-style sketch —
+    single pass each, no sort).  Two jobs total: one for the median, one
+    for the MAD, then violations are a pure filter expression.
+    """
+
+    def __init__(self, column: str, threshold: float = 3.5,
+                 max_violation_rate: float = 0.01,
+                 keys: Sequence[str] | None = None, accuracy: int = 10000):
+        self.column = column
+        self.threshold = threshold
+        self.max_violation_rate = max_violation_rate
+        self.keys = list(keys) if keys else [column]
+        self.accuracy = accuracy
+        self.name = f"robust_z:{column}"
+        self._median: float | None = None
+        self._mad: float | None = None
+
+    def _fit(self, df: DataFrame) -> None:
+        med = df.agg(
+            F.percentile_approx(self.column, 0.5, self.accuracy).alias("m")
+        ).first()["m"]
+        mad = df.agg(
+            F.percentile_approx(
+                F.abs(F.col(self.column) - F.lit(float(med))), 0.5, self.accuracy
+            ).alias("m")
+        ).first()["m"]
+        self._median, self._mad = float(med), float(mad)
+
+    def _z(self) -> Column:
+        scale = 1.4826 * (self._mad if self._mad else 1e-12)
+        return F.abs(F.col(self.column) - F.lit(self._median)) / F.lit(scale)
+
+    def run_extra(self, df: DataFrame) -> list[dict[str, Any]]:
+        self._fit(df)
+        n_bad, n = df.select(
+            F.sum((self._z() > self.threshold).cast("long")).alias("bad"),
+            F.count(self.column).alias("n"),
+        ).first()
+        rate = (n_bad or 0) / n if n else 0.0
+        return [
+            verdict(self.name, self.column, "median", self._median),
+            verdict(self.name, self.column, "mad", self._mad),
+            verdict(self.name, self.column, "outlier_rate", rate, None, self.max_violation_rate),
+        ]
+
+    def violations(self, df: DataFrame) -> DataFrame | None:
+        if self._median is None:
+            self._fit(df)
+        return (
+            df.filter(self._z() > self.threshold)
+            .select(*self.keys)
+            .withColumn(VIOLATION_KEY_COL, F.lit(self.name))
+        )
+
+
+class MahalanobisCheck(Check):
+    """Dense Mahalanobis distance over ``cols`` with χ²(alpha, k) cutoff.
+
+    Mirrors ``PRIME_App/utils.R:228-232`` (MD + qchisq flag) but with a
+    proper covariance (centered, n−1) by default.  ``compat_df_quirk``
+    reproduces the reference's degrees-of-freedom bug — it passes the
+    TOTAL column count of its working frame (keys + indicators + the MD
+    column just added) minus 1 instead of k; we expose it so compat
+    fixtures can match bit-for-bit (SURVEY.md §2.11 K1 stage 7).
+    """
+
+    def __init__(
+        self,
+        cols: Sequence[str],
+        alpha: float = 0.95,
+        max_violation_rate: float = 0.01,
+        keys: Sequence[str] | None = None,
+        compat_df_quirk: int | None = None,
+    ):
+        self.cols = list(cols)
+        self.alpha = alpha
+        self.max_violation_rate = max_violation_rate
+        self.keys = list(keys) if keys else list(cols)
+        self.name = f"mahalanobis:{','.join(self.cols)}"
+        self._slug = "md_" + "_".join(self.cols)
+        df_ = compat_df_quirk if compat_df_quirk is not None else len(self.cols)
+        self.cutoff = chi2_ppf(alpha, df_)
+        self._mu: np.ndarray | None = None
+        self._sinv: np.ndarray | None = None
+
+    # ---- fused-pass moment expressions -------------------------------
+    def stats_exprs(self) -> list[Column]:
+        exprs: list[Column] = [F.count(F.lit(1)).alias(f"{self._slug}__n")]
+        for i, ci in enumerate(self.cols):
+            exprs.append(F.sum(F.col(ci).cast("double")).alias(f"{self._slug}__s_{i}"))
+            for j, cj in enumerate(self.cols):
+                if j < i:
+                    continue
+                exprs.append(
+                    F.sum((F.col(ci) * F.col(cj)).cast("double")).alias(
+                        f"{self._slug}__ss_{i}_{j}"
+                    )
+                )
+        return exprs
+
+    def _solve(self, stats: dict[str, Any]) -> None:
+        k = len(self.cols)
+        n = stats[f"{self._slug}__n"]
+        s = np.array([stats[f"{self._slug}__s_{i}"] for i in range(k)], dtype=float)
+        mu = s / n
+        cov = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                ss = stats[f"{self._slug}__ss_{i}_{j}"]
+                cij = (ss - n * mu[i] * mu[j]) / (n - 1)
+                cov[i, j] = cov[j, i] = cij
+        # ridge for numerically singular covariance (reference handles
+        # collinearity by noise injection, PRIME_App/utils.R:131-154; a
+        # deterministic ridge is the principled equivalent)
+        try:
+            sinv = np.linalg.inv(cov)
+        except np.linalg.LinAlgError:
+            sinv = np.linalg.inv(cov + np.eye(k) * 1e-9 * np.trace(cov))
+        self._mu, self._sinv = mu, sinv
+
+    def md2_expr(self) -> Column:
+        """Squared Mahalanobis distance as a pure JVM expression."""
+        assert self._mu is not None and self._sinv is not None
+        terms: Column | None = None
+        k = len(self.cols)
+        for i in range(k):
+            di = F.col(self.cols[i]).cast("double") - F.lit(float(self._mu[i]))
+            for j in range(k):
+                dj = F.col(self.cols[j]).cast("double") - F.lit(float(self._mu[j]))
+                t = di * dj * F.lit(float(self._sinv[i, j]))
+                terms = t if terms is None else terms + t
+        return terms
+
+    def verdicts(self, stats: dict[str, Any]) -> list[dict[str, Any]]:
+        self._solve(stats)
+        return [verdict(self.name, ",".join(self.cols), "chi2_cutoff", self.cutoff)]
+
+    def run_extra(self, df: DataFrame) -> list[dict[str, Any]]:
+        if self._mu is None:
+            stats = df.agg(*self.stats_exprs()).first().asDict()
+            self._solve(stats)
+        n_bad, n = df.select(
+            F.sum((self.md2_expr() > self.cutoff).cast("long")).alias("bad"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        rate = (n_bad or 0) / n if n else 0.0
+        return [
+            verdict(
+                self.name, ",".join(self.cols), "outlier_rate",
+                rate, None, self.max_violation_rate,
+            )
+        ]
+
+    def violations(self, df: DataFrame) -> DataFrame | None:
+        if self._mu is None:
+            stats = df.agg(*self.stats_exprs()).first().asDict()
+            self._solve(stats)
+        return (
+            df.filter(self.md2_expr() > self.cutoff)
+            .select(*self.keys)
+            .withColumn(VIOLATION_KEY_COL, F.lit(self.name))
+        )

@@ -1,0 +1,93 @@
+"""Check protocol + shared schemas.
+
+The reference enforced correctness with a hand-rolled pile of runtime
+asserts (``/root/reference/PRIME_App/server.R:1040-1081``, required-column
+and cardinality gates) evaluated eagerly on a materialized data.frame.
+Here every check is a declarative object that contributes:
+
+  1. ``stats_exprs()``  — Column expressions folded into the suite's ONE
+     fused aggregation pass (SURVEY.md §4.2.1: the whole table is scanned
+     once for all stats-class checks; Spark's partial+final hash agg gives
+     the Welford/merge combine for free).
+  2. ``verdicts(stats)`` — pure-python evaluation over the collected
+     (tiny) stats row, one verdict dict per constraint.
+  3. ``violations(df)`` — an OPTIONAL lazy DataFrame of offending rows
+     (never collected by the engine; written to the violations sink).
+  4. ``run_extra(df)``  — for checks that genuinely need their own job
+     (grouped uniqueness, referential anti-join, drift histograms).
+
+Verdict rows mirror the reference's per-scenario outlier tables
+(``PRIME_App/utils.R:308-407``) reshaped as a constraint ledger.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+
+# One row per (partition, check, metric). `partition` is the string-ified
+# value of the suite's partition_by columns ("" for the global slice).
+VERDICT_SCHEMA = (
+    "table string, partition string, check string, column string, "
+    "metric string, value double, lo double, hi double, passed boolean"
+)
+
+# Violations are key-column projections + a literal check name.
+VIOLATION_KEY_COL = "_check"
+
+
+def verdict(
+    check: str,
+    column: str,
+    metric: str,
+    value: float | None,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> dict[str, Any]:
+    """Build one verdict dict; ``passed`` derives from [lo, hi] bounds."""
+    passed = True
+    if value is None:
+        passed = False
+    else:
+        if lo is not None and value < lo:
+            passed = False
+        if hi is not None and value > hi:
+            passed = False
+    return {
+        "check": check,
+        "column": column,
+        "metric": metric,
+        "value": None if value is None else float(value),
+        "lo": lo,
+        "hi": hi,
+        "passed": passed,
+    }
+
+
+class Check(abc.ABC):
+    """A single declarative constraint."""
+
+    name: str
+
+    def stats_exprs(self) -> list[Column]:
+        """Aggregate expressions to fold into the suite's fused pass."""
+        return []
+
+    def verdicts(self, stats: dict[str, Any]) -> list[dict[str, Any]]:
+        """Evaluate constraint(s) against the collected stats row."""
+        return []
+
+    def violations(self, df: DataFrame) -> DataFrame | None:
+        """Lazy DataFrame of violating rows (key columns only), or None."""
+        return None
+
+    def run_extra(self, df: DataFrame) -> list[dict[str, Any]]:
+        """Verdicts that need their own Spark job (grouped/join checks).
+
+        Called once per suite run with the (global) input; checks that
+        support per-partition verdicts do their own groupBy internally so
+        the job count stays O(1) per check, not O(partitions).
+        """
+        return []

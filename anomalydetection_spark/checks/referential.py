@@ -1,0 +1,67 @@
+"""Referential-integrity checks via broadcast anti-join.
+
+The reference's membership logic is ``%in%`` whitelists against constant
+vectors (``/root/reference/PRIME_App/server.R:785-788,1926-1932``) — i.e.
+semi/anti joins against tiny dimensions (SURVEY.md §2.3 J3/J4).  At scale
+the dimension (fmt domain, allowed sources, …) stays small, so we force a
+**broadcast hash anti-join**: no shuffle of the fact table at all, which
+also neutralizes fmt-skew (a sort-merge join on 80%-jpeg data would put
+80% of rows in one task; a broadcast join keeps the fact side's
+partitioning untouched).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from anomalydetection_spark.checks.base import Check, VIOLATION_KEY_COL, verdict
+
+
+class ReferentialCheck(Check):
+    """Every fact ``fk`` value must exist in ``dim[pk]``.
+
+    ``dim`` may be a DataFrame (broadcast) or an in-memory list (compiled
+    to ``isin`` — even cheaper: pure scan-side predicate, no join).
+    """
+
+    def __init__(
+        self,
+        fk: str,
+        dim: DataFrame | Sequence,
+        pk: str | None = None,
+        max_violation_rate: float = 0.0,
+        keys: Sequence[str] | None = None,
+    ):
+        self.fk = fk
+        self.dim = dim
+        self.pk = pk or fk
+        self.max_violation_rate = max_violation_rate
+        self.keys = list(keys) if keys else [fk]
+        self.name = f"referential:{fk}"
+
+    def _orphans(self, df: DataFrame) -> DataFrame:
+        if isinstance(self.dim, DataFrame):
+            dim = self.dim.select(F.col(self.pk).alias(self.fk)).distinct()
+            return df.join(F.broadcast(dim), on=self.fk, how="left_anti")
+        return df.filter(
+            ~F.coalesce(F.col(self.fk).isin(list(self.dim)), F.lit(False))
+        )
+
+    def run_extra(self, df: DataFrame) -> list[dict[str, Any]]:
+        orphan_rows = self._orphans(df).count()
+        total = df.count()
+        rate = (orphan_rows / total) if total else 0.0
+        return [
+            verdict(self.name, self.fk, "orphan_rate", rate, None, self.max_violation_rate),
+            verdict(self.name, self.fk, "orphan_count", float(orphan_rows)),
+        ]
+
+    def violations(self, df: DataFrame) -> DataFrame | None:
+        return (
+            self._orphans(df)
+            .select(*self.keys)
+            .withColumn(VIOLATION_KEY_COL, F.lit(self.name))
+        )

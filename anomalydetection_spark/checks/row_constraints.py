@@ -1,0 +1,154 @@
+"""Row-level constraint DSL.
+
+Maps the reference's filter/predicate surface (SURVEY.md §2.2 F1-F8:
+``%in%`` whitelists at ``/root/reference/PRIME_App/server.R:788``,
+NOT-IN blacklists at ``:785,1931-1932``, regex predicates at ``:979``,
+not-null gates at ``:1015``) onto declarative checks.  Each check is a
+single boolean Column, so:
+
+  * its violation COUNT folds into the suite's fused aggregation as
+    ``sum(cast(violated as long))`` — zero extra scans;
+  * its violation ROWS are a lazy ``df.filter(violated)`` projection that
+    Catalyst pushes into the parquet/Iceberg scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from anomalydetection_spark.checks.base import Check, VIOLATION_KEY_COL, verdict
+
+
+class PredicateCheck(Check):
+    """Generic: rows where ``predicate`` is FALSE/NULL are violations.
+
+    ``max_violation_rate``: allowed fraction of violating rows (0.0 =
+    hard constraint). ``keys``: columns projected into the violations
+    sink (defaults to all — callers should narrow for wide tables).
+    """
+
+    def __init__(
+        self,
+        name: str,
+        predicate: Column | Callable[[], Column],
+        column: str = "",
+        max_violation_rate: float = 0.0,
+        keys: Sequence[str] | None = None,
+    ):
+        self.name = name
+        self._pred = predicate
+        self.column = column
+        self.max_violation_rate = max_violation_rate
+        self.keys = list(keys) if keys else None
+        self._slug = name.replace(":", "_").replace(".", "_")
+
+    def predicate(self) -> Column:
+        p = self._pred() if callable(self._pred) else self._pred
+        # NULL predicate result counts as a violation (matches SQL WHERE
+        # semantics inverted: row not provably valid => flagged).
+        return F.coalesce(p, F.lit(False))
+
+    def stats_exprs(self) -> list[Column]:
+        bad = (~self.predicate()).cast("long")
+        return [
+            F.sum(bad).alias(f"{self._slug}__violations"),
+            F.count(F.lit(1)).alias(f"{self._slug}__rows"),
+        ]
+
+    def verdicts(self, stats: dict[str, Any]) -> list[dict[str, Any]]:
+        bad = stats.get(f"{self._slug}__violations") or 0
+        rows = stats.get(f"{self._slug}__rows") or 0
+        rate = (bad / rows) if rows else 0.0
+        return [
+            verdict(self.name, self.column, "violation_rate", rate, None, self.max_violation_rate)
+        ]
+
+    def violations(self, df: DataFrame) -> DataFrame | None:
+        out = df.filter(~self.predicate())
+        if self.keys:
+            out = out.select(*self.keys)
+        return out.withColumn(VIOLATION_KEY_COL, F.lit(self.name))
+
+
+class NotNullCheck(PredicateCheck):
+    """Null-rate constraint (reference: most-recent-quarter gate
+    ``sum(is.na(qtr4))/nrow < .5`` at ``PRIME_App/server.R:832-867``)."""
+
+    def __init__(self, column: str, max_null_rate: float = 0.0, keys=None):
+        super().__init__(
+            name=f"not_null:{column}",
+            predicate=lambda: F.col(column).isNotNull(),
+            column=column,
+            max_violation_rate=max_null_rate,
+            keys=keys,
+        )
+
+
+class InSetCheck(PredicateCheck):
+    """Domain whitelist (F1: ``indicator %in% quarterly_indicators``)."""
+
+    def __init__(self, column: str, allowed: Sequence, max_violation_rate=0.0, keys=None):
+        allowed = list(allowed)
+        super().__init__(
+            name=f"in_set:{column}",
+            predicate=lambda: F.col(column).isin(allowed),
+            column=column,
+            max_violation_rate=max_violation_rate,
+            keys=keys,
+        )
+
+
+class NotInSetCheck(PredicateCheck):
+    """Blacklist (F2: drop Dedup/TBD partners etc.)."""
+
+    def __init__(self, column: str, banned: Sequence, max_violation_rate=0.0, keys=None):
+        banned = list(banned)
+        super().__init__(
+            name=f"not_in_set:{column}",
+            predicate=lambda: ~F.coalesce(F.col(column).isin(banned), F.lit(False)),
+            column=column,
+            max_violation_rate=max_violation_rate,
+            keys=keys,
+        )
+
+
+class RlikeCheck(PredicateCheck):
+    """Regex constraint (F5 analog). ``must_match=False`` bans the pattern."""
+
+    def __init__(self, column: str, pattern: str, must_match: bool = True,
+                 max_violation_rate=0.0, keys=None):
+        def pred():
+            m = F.col(column).rlike(pattern)
+            return m if must_match else ~F.coalesce(m, F.lit(False))
+
+        super().__init__(
+            name=f"rlike:{column}:{pattern}",
+            predicate=pred,
+            column=column,
+            max_violation_rate=max_violation_rate,
+            keys=keys,
+        )
+
+
+class RangeCheck(PredicateCheck):
+    """Closed-interval value constraint."""
+
+    def __init__(self, column: str, lo=None, hi=None, max_violation_rate=0.0, keys=None):
+        def pred():
+            p = F.lit(True)
+            if lo is not None:
+                p = p & (F.col(column) >= F.lit(lo))
+            if hi is not None:
+                p = p & (F.col(column) <= F.lit(hi))
+            return p
+
+        super().__init__(
+            name=f"range:{column}",
+            predicate=pred,
+            column=column,
+            max_violation_rate=max_violation_rate,
+            keys=keys,
+        )

@@ -1,0 +1,142 @@
+"""ValidationSuite — plans and runs a set of checks with minimal scans.
+
+Lifecycle (SURVEY.md §3.4): build checks → ONE fused aggregation job
+computes every stats-class metric (optionally grouped by partition
+columns for per-partition verdicts) → driver evaluates thresholds on the
+tiny collected stats → join/group-class checks run their own O(1) jobs →
+verdicts / violations / metrics come back as DataFrames for the caller to
+write to its sink tables.
+
+The reference's equivalent is the reactive graph of eager data.frames and
+shinyalert asserts (``/root/reference/PRIME_App/server.R:951-1092``); the
+scan-count discipline here (SURVEY.md §4.2.1) is what makes the same
+semantics viable at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import reduce
+from typing import Any, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from anomalydetection_spark.checks.base import Check, VERDICT_SCHEMA
+
+
+@dataclass
+class SuiteResult:
+    verdicts: DataFrame      # one row per (partition, check, metric)
+    violations: DataFrame | None  # offending rows, tagged with check name
+    metrics: dict[str, Any]  # raw collected stats (global slice)
+    elapsed_sec: float
+
+    @property
+    def passed(self) -> bool:
+        return self.verdicts.filter(~F.col("passed")).limit(1).count() == 0
+
+
+class ValidationSuite:
+    def __init__(
+        self,
+        checks: Sequence[Check],
+        table_name: str = "",
+        partition_by: Sequence[str] = (),
+    ):
+        self.checks = list(checks)
+        self.table_name = table_name
+        self.partition_by = list(partition_by)
+
+    # ------------------------------------------------------------------
+    def _fused_stats(self, df: DataFrame) -> tuple[dict, list[tuple[str, dict]]]:
+        """Run the single fused agg. Returns (global_stats, per_partition)."""
+        exprs = []
+        seen: set[str] = set()
+        for c in self.checks:
+            for e in c.stats_exprs():
+                # dedupe identical aliases contributed by multiple checks
+                # (str(Column) renders "Column<'expr AS alias'>" on both
+                # classic and Connect backends)
+                alias = str(e).rsplit(" AS ", 1)[-1].rstrip("'>`").lstrip("`")
+                if alias not in seen:
+                    seen.add(alias)
+                    exprs.append(e)
+        if not exprs:
+            return {}, []
+        if self.partition_by:
+            rows = df.groupBy(*self.partition_by).agg(*exprs).collect()
+            per_part = []
+            for r in rows:
+                d = r.asDict()
+                key = "/".join(str(d.pop(p)) for p in self.partition_by)
+                per_part.append((key, d))
+            # global slice = re-aggregate? cheap approximation: also run
+            # global agg only when explicitly partitioned AND caller wants
+            # both; here we merge additively where possible is unsafe for
+            # avg/var, so we run the global agg too (same scan is cached).
+            g = df.agg(*exprs).first().asDict()
+            return g, per_part
+        g = df.agg(*exprs).first().asDict()
+        return g, []
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        df: DataFrame,
+        spark: SparkSession | None = None,
+        with_violations: bool = True,
+        cache: bool = True,
+    ) -> SuiteResult:
+        spark = spark or df.sparkSession
+        t0 = time.time()
+        if cache:
+            df = df.persist()
+        try:
+            global_stats, per_part = self._fused_stats(df)
+
+            verdict_rows: list[dict[str, Any]] = []
+            for c in self.checks:
+                for v in c.verdicts(global_stats):
+                    v.update(table=self.table_name, partition="")
+                    verdict_rows.append(v)
+                for part_key, stats in per_part:
+                    for v in c.verdicts(stats):
+                        v.update(table=self.table_name, partition=part_key)
+                        verdict_rows.append(v)
+                for v in c.run_extra(df):
+                    v.update(table=self.table_name, partition="")
+                    verdict_rows.append(v)
+
+            verdicts = spark.createDataFrame(
+                [
+                    (
+                        r["table"], r["partition"], r["check"], r["column"],
+                        r["metric"], r["value"], r["lo"], r["hi"], r["passed"],
+                    )
+                    for r in verdict_rows
+                ],
+                schema=VERDICT_SCHEMA,
+            )
+
+            violations = None
+            if with_violations:
+                vdfs = []
+                for c in self.checks:
+                    v = c.violations(df)
+                    if v is not None:
+                        vdfs.append(v)
+                if vdfs:
+                    violations = reduce(
+                        lambda a, b: a.unionByName(b, allowMissingColumns=True), vdfs
+                    )
+            return SuiteResult(
+                verdicts=verdicts,
+                violations=violations,
+                metrics=global_stats,
+                elapsed_sec=time.time() - t0,
+            )
+        finally:
+            if cache:
+                df.unpersist()
