@@ -1,38 +1,1014 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the validation engine's full check suite over
+sf0.001 tables, returning the verdicts DataFrame.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2, each mirrored by ANSI SQL that DuckDB runs on the same
+parquet. Float-bearing results use exact decimal-sum aggregation on BOTH
+sides so values are bit-identical regardless of aggregation order (Spark
+partial aggs vs DuckDB's) — see ``_dsum`` and the DECIMAL casts in the SQL.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+# ---------------------------------------------------------------------------
+# helpers
+
+NUMERIC_LI = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+_SW_SQL = "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col: Column | str, scale: int = 4) -> Column:
+    """Order-insensitive exact sum: per-row double → decimal → exact decimal
+    sum → double. Bit-identical to DuckDB's CAST(SUM(CAST(x AS
+    DECIMAL(18,s))) AS DOUBLE) because decimal addition is exact."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validation suite over sf0.001; returns verdict rows."""
+    from anomalydetection_spark import ValidationSuite
+    from anomalydetection_spark.checks import (
+        ColumnStatsCheck,
+        InSetCheck,
+        MahalanobisCheck,
+        NotNullCheck,
+        RangeCheck,
+        ReferentialCheck,
+        RobustZScoreCheck,
+        UniquenessCheck,
+    )
 
+    sf = "/root/testdata/sf0.001"
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    suite = ValidationSuite(
+        checks=[
+            ColumnStatsCheck("l_quantity", constraints={"null_rate": (None, 0.0), "min": (0.0, None)}),
+            ColumnStatsCheck("l_extendedprice", constraints={"mean": (0.0, None)}),
+            ColumnStatsCheck("l_discount", constraints={"max": (None, 1.0)}),
+            NotNullCheck("l_orderkey"),
+            InSetCheck("l_returnflag", ["A", "N", "R"]),
+            InSetCheck("l_linestatus", ["O", "F"]),
+            RangeCheck("l_discount", 0.0, 0.2),
+            RangeCheck("l_tax", 0.0, 0.1),
+            UniquenessCheck(["l_orderkey", "l_linenumber"], max_duplicate_rate=0.5),
+            ReferentialCheck("l_partkey", part, "p_partkey", keys=["l_orderkey", "l_partkey"]),
+            RobustZScoreCheck("l_extendedprice", threshold=6.0, max_violation_rate=0.01),
+            MahalanobisCheck(
+                ["l_quantity", "l_extendedprice", "l_discount"],
+                alpha=0.999, max_violation_rate=0.05,
+                keys=["l_orderkey", "l_linenumber"],
+            ),
+        ],
+        table_name="lineitem",
+        partition_by=["l_returnflag"],
+    )
+    return suite.run(li, with_violations=False).verdicts
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A6 — single-pass per-column stats profile (the engine's core check)
+
+def q_column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in NUMERIC_LI:
+        aggs += [
+            F.count(c).alias(f"{c}__cnt"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            _dsum(c, 4).alias(f"{c}__sum"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    # long form: one row per column (stack)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__cnt`, `{c}__nulls`, `{c}__sum`, `{c}__min`, `{c}__max`"
+        for c in NUMERIC_LI
+    )
+    return wide.selectExpr(
+        f"stack({len(NUMERIC_LI)}, {stack_args}) as "
+        "(column_name, cnt, null_cnt, sum_val, min_val, max_val)"
+    ).withColumn("mean_val", F.col("sum_val") / F.col("cnt"))
+
+
+def o_column_stats_profile() -> str:
+    parts = []
+    for c in NUMERIC_LI:
+        parts.append(
+            f"SELECT '{c}' AS column_name, COUNT({c}) AS cnt, "
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_cnt, "
+            f"CAST(SUM(CAST({c} AS DECIMAL(28,4))) AS DOUBLE) AS sum_val, "
+            f"MIN(CAST({c} AS DOUBLE)) AS min_val, MAX(CAST({c} AS DOUBLE)) AS max_val, "
+            f"CAST(SUM(CAST({c} AS DECIMAL(28,4))) AS DOUBLE) / COUNT({c}) AS mean_val "
+            f"FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+# §2.4 A13 — null-rate gate per column (orders)
+
+def q_null_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__n"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', `{c}__n`" for c in cols)
+    return (
+        wide.selectExpr(f"__rows", f"stack({len(cols)}, {stack_args}) as (column_name, null_cnt)")
+        .select(
+            "column_name",
+            "null_cnt",
+            (F.col("null_cnt") / F.col("__rows")).alias("null_rate"),
+            (F.col("null_cnt") == 0).alias("passed"),
+        )
+    )
+
+
+def o_null_rate_gate() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    parts = [
+        f"SELECT '{c}' AS column_name, "
+        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_cnt, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS null_rate, "
+        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) = 0 AS passed FROM orders"
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+# §2.4 A5 / §7 step 3 — exact uniqueness violations (duplicate key groups)
+
+def q_uniqueness_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("dup_cnt"))
+        .filter(F.col("dup_cnt") > 1)
+    )
+
+
+def o_uniqueness_violations() -> str:
+    return (
+        "SELECT l_orderkey, l_linenumber, COUNT(*) AS dup_cnt FROM lineitem "
+        "GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1"
+    )
+
+
+def q_uniqueness_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dup = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("total_keys"),
+            F.sum((F.col("c") > 1).cast("long")).alias("dup_keys"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_rows"),
+        )
+    )
+    total = li.count()
+    return dup.select(
+        F.lit(total).alias("total_rows"),
+        "total_keys",
+        "dup_keys",
+        "dup_rows",
+        (F.col("dup_rows") / F.lit(total)).alias("duplicate_row_rate"),
+    )
+
+
+def o_uniqueness_summary() -> str:
+    return """
+    WITH k AS (
+      SELECT l_orderkey, l_linenumber, COUNT(*) AS c FROM lineitem GROUP BY 1,2
+    )
+    SELECT (SELECT COUNT(*) FROM lineitem) AS total_rows,
+           COUNT(*) AS total_keys,
+           SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dup_keys,
+           SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_rows,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+             / (SELECT COUNT(*) FROM lineitem) AS duplicate_row_rate
+    FROM k
+    """
+
+
+# §2.3 J4 — referential orphans via broadcast anti-join (non-empty by
+# construction: dimension scoped to non-BUILDING customers)
+
+def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") != "BUILDING")
+    dim = c.select(F.col("c_custkey").alias("o_custkey")).distinct()
+    return (
+        o.join(F.broadcast(dim), on="o_custkey", how="left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("orphan_cnt"))
+    )
+
+
+def o_referential_orphans() -> str:
+    return """
+    SELECT o_orderstatus, COUNT(*) AS orphan_cnt FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment <> 'BUILDING')
+    GROUP BY o_orderstatus
+    """
+
+
+# §2.3 J3 — left-semi scoping
+
+def q_semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    active = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        c.join(active, on="c_custkey", how="left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+    )
+
+
+def o_semi_join_active() -> str:
+    return """
+    SELECT c_mktsegment, COUNT(*) AS active_customers FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """
+
+
+def q_anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    active = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        c.join(active, on="c_custkey", how="left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("inactive_customers"))
+    )
+
+
+def o_anti_join_inactive() -> str:
+    return """
+    SELECT c_mktsegment, COUNT(*) AS inactive_customers FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """
+
+
+# §2.4 A1-A3 — the grouped-sum dedup-to-grain aggregation (TPC-H Q1 shape)
+
+def q_groupby_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc_price, 4).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            (_dsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def o_groupby_pricing_summary() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+      COUNT(*) AS count_order,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+
+
+# §2.5 R1 — pivot wide (indicator→columns analog)
+
+def q_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(_dsum("l_quantity"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .fillna(0.0, subset=["qty_f", "qty_o"])
+    )
+
+
+def o_pivot_status_matrix() -> str:
+    return """
+    SELECT l_returnflag,
+      COALESCE(CAST(SUM(CASE WHEN l_linestatus='F' THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE), 0.0) AS qty_f,
+      COALESCE(CAST(SUM(CASE WHEN l_linestatus='O' THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE), 0.0) AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+    """
+
+
+# §2.5 R5 — unpivot (wide qtr cols → long) analog: measures → rows
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', CAST(l_quantity AS DOUBLE), "
+        "'extendedprice', CAST(l_extendedprice AS DOUBLE), "
+        "'discount', CAST(l_discount AS DOUBLE)) as (measure, value)"
+    )
+    return (
+        long.filter(F.col("value").isNotNull())
+        .groupBy("l_returnflag", "measure")
+        .agg(_dsum("value").alias("sum_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def o_unpivot_measures() -> str:
+    return """
+    WITH long AS (
+      SELECT l_returnflag, 'quantity' AS measure, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', CAST(l_discount AS DOUBLE) FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value, COUNT(*) AS n
+    FROM long WHERE value IS NOT NULL GROUP BY l_returnflag, measure
+    """
+
+
+# §2.6 W1 — last value per group (latest event per user)
+
+def q_window_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("last_event_type"),
+                F.col("event_id").alias("last_event_id"))
+    )
+
+
+def o_window_last_event() -> str:
+    return """
+    SELECT user_id, event_type AS last_event_type, event_id AS last_event_id
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+          FROM events) WHERE rn = 1
+    """
+
+
+# §2.6 W2 / §2.7 O4 — per-group top-k by rank
+
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("totalprice"), "rk")
+    )
+
+
+def o_window_topk_orders() -> str:
+    return """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice, rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) rk
+          FROM orders) WHERE rk <= 3
+    """
+
+
+# §2.6 W3 — group count as window + share-of-group
+
+def q_window_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return (
+        e.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("type_total", F.sum("n").over(w))
+        .withColumn("share", F.col("n").cast("double") / F.col("type_total"))
+        .filter(F.col("n") >= 20)
+    )
+
+
+def o_window_group_share() -> str:
+    return """
+    SELECT * FROM (
+      SELECT event_type, user_id, COUNT(*) AS n,
+             SUM(COUNT(*)) OVER (PARTITION BY event_type) AS type_total,
+             CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS share
+      FROM events GROUP BY event_type, user_id
+    ) WHERE n >= 20
+    """
+
+
+# §2.4 A8 — rollup with grand totals
+
+def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice", 4).alias("sum_price"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+def o_rollup_totals() -> str:
+    return """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """
+
+
+# §2.8 U2 — union with schema fill
+
+def q_union_schema_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("customer").alias("side"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+        F.lit("supplier").alias("side"),
+    )
+    return c.unionByName(s, allowMissingColumns=True).filter(F.col("acctbal") > 9000.0)
+
+
+def o_union_schema_fill() -> str:
+    return """
+    SELECT * FROM (
+      SELECT c_name AS name, CAST(c_acctbal AS DOUBLE) AS acctbal,
+             c_mktsegment AS mktsegment, 'customer' AS side FROM customer
+      UNION ALL
+      SELECT s_name, CAST(s_acctbal AS DOUBLE), NULL, 'supplier' FROM supplier
+    ) WHERE acctbal > 9000.0
+    """
+
+
+# §2.7 O1/O4 — global ordered top-k with deterministic tiebreak
+
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("totalprice"))
+    )
+
+
+def o_topk_global() -> str:
+    return (
+        "SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS totalprice "
+        "FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+    )
+
+
+# §2.2 D1-D4, F1-F6 — derived columns + predicate stack
+
+def q_derived_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type").isin(["click", "purchase", "view"]))
+        .filter(~F.col("event_type").isin(["error"]))
+        .withColumn("k_val", F.regexp_extract("props", "([0-9]+)", 1).cast("int"))
+        .withColumn("user_bucket", F.when(F.col("user_id") < 75, "low").otherwise("high"))
+        .withColumn("type_key", F.concat_ws("_", "event_type", "user_bucket"))
+        .filter(F.lower(F.col("event_type")) != "signup")
+        .groupBy("type_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k_val").alias("sum_k"),
+            _dsum("value").alias("sum_value"),
+        )
+    )
+
+
+def o_derived_filters() -> str:
+    return """
+    SELECT (event_type || '_' || CASE WHEN user_id < 75 THEN 'low' ELSE 'high' END) AS type_key,
+           COUNT(*) AS n,
+           SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS sum_k,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_type IN ('click','purchase','view')
+      AND event_type NOT IN ('error')
+      AND LOWER(event_type) <> 'signup'
+    GROUP BY 1
+    """
+
+
+# §2.3 J2 — 3-way full outer join (model-agreement analog)
+
+def q_full_outer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").groupBy("user_id").agg(F.count(F.lit(1)).alias("clicks"))
+    b = e.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(F.count(F.lit(1)).alias("purchases"))
+    c = e.filter(F.col("event_type") == "error").groupBy("user_id").agg(F.count(F.lit(1)).alias("errors"))
+    j = a.join(b, "user_id", "full").join(c, "user_id", "full")
+    return j.select(
+        "user_id",
+        F.coalesce("clicks", F.lit(0)).alias("clicks"),
+        F.coalesce("purchases", F.lit(0)).alias("purchases"),
+        F.coalesce("errors", F.lit(0)).alias("errors"),
+    ).withColumn(
+        "signals",
+        (F.col("clicks") > 0).cast("int") + (F.col("purchases") > 0).cast("int") + (F.col("errors") > 0).cast("int"),
+    )
+
+
+def o_full_outer_agreement() -> str:
+    return """
+    WITH a AS (SELECT user_id, COUNT(*) clicks FROM events WHERE event_type='click' GROUP BY 1),
+         b AS (SELECT user_id, COUNT(*) purchases FROM events WHERE event_type='purchase' GROUP BY 1),
+         c AS (SELECT user_id, COUNT(*) errors FROM events WHERE event_type='error' GROUP BY 1)
+    SELECT COALESCE(a.user_id, b.user_id, c.user_id) AS user_id,
+           COALESCE(clicks, 0) AS clicks, COALESCE(purchases, 0) AS purchases,
+           COALESCE(errors, 0) AS errors,
+           (CASE WHEN COALESCE(clicks,0) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN COALESCE(purchases,0) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN COALESCE(errors,0) > 0 THEN 1 ELSE 0 END) AS signals
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+           FULL OUTER JOIN c ON COALESCE(a.user_id, b.user_id) = c.user_id
+    """
+
+
+# §2.11 K1 analog — 2-feature Mahalanobis with analytic 2×2 inverse.
+# Moments via exact decimal sums; all downstream IEEE arithmetic mirrors
+# the SQL exactly, so flags and distances are bit-identical.
+
+CHI2_99_DF2 = 9.21034037197618  # chi2_ppf(0.99, 2), driver-side constant
+
+
+def q_mahalanobis_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    m = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("p_size").cast("double"), 4).alias("sx"),
+        _dsum(F.col("p_retailprice").cast("double"), 4).alias("sy"),
+        _dsum(F.col("p_size").cast("double") * F.col("p_size").cast("double"), 6).alias("sxx"),
+        _dsum(F.col("p_retailprice").cast("double") * F.col("p_retailprice").cast("double"), 6).alias("syy"),
+        _dsum(F.col("p_size").cast("double") * F.col("p_retailprice").cast("double"), 6).alias("sxy"),
+    ).first()
+    n = float(m["n"])
+    mux = m["sx"] / n
+    muy = m["sy"] / n
+    vxx = (m["sxx"] - n * mux * mux) / (n - 1.0)
+    vyy = (m["syy"] - n * muy * muy) / (n - 1.0)
+    vxy = (m["sxy"] - n * mux * muy) / (n - 1.0)
+    det = vxx * vyy - vxy * vxy
+    i11 = vyy / det
+    i22 = vxx / det
+    i12 = -vxy / det
+    dx = F.col("p_size").cast("double") - F.lit(mux)
+    dy = F.col("p_retailprice").cast("double") - F.lit(muy)
+    md2 = dx * dx * F.lit(i11) + F.lit(2.0) * dx * dy * F.lit(i12) + dy * dy * F.lit(i22)
+    return (
+        p.withColumn("md2", md2)
+        .filter(F.col("md2") > F.lit(CHI2_99_DF2))
+        .select("p_partkey", F.round("md2", 6).alias("md2_r"))
+    )
+
+
+def o_mahalanobis_flags() -> str:
+    return f"""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(p_size AS DOUBLE) AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(CAST(p_retailprice AS DOUBLE) AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(CAST(p_retailprice AS DOUBLE) * CAST(p_retailprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(CAST(p_size AS DOUBLE) * CAST(p_retailprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      FROM part
+    ), c AS (
+      SELECT CAST(n AS DOUBLE) AS n, sx / CAST(n AS DOUBLE) AS mux, sy / CAST(n AS DOUBLE) AS muy,
+             sxx, syy, sxy FROM m
+    ), v AS (
+      SELECT n, mux, muy,
+             (sxx - n * mux * mux) / (n - 1.0) AS vxx,
+             (syy - n * muy * muy) / (n - 1.0) AS vyy,
+             (sxy - n * mux * muy) / (n - 1.0) AS vxy
+      FROM c
+    ), i AS (
+      SELECT mux, muy,
+             vyy / (vxx * vyy - vxy * vxy) AS i11,
+             vxx / (vxx * vyy - vxy * vxy) AS i22,
+             -vxy / (vxx * vyy - vxy * vxy) AS i12
+      FROM v
+    )
+    SELECT p_partkey, ROUND(
+        (CAST(p_size AS DOUBLE) - mux) * (CAST(p_size AS DOUBLE) - mux) * i11
+        + 2.0 * (CAST(p_size AS DOUBLE) - mux) * (CAST(p_retailprice AS DOUBLE) - muy) * i12
+        + (CAST(p_retailprice AS DOUBLE) - muy) * (CAST(p_retailprice AS DOUBLE) - muy) * i22, 6) AS md2_r
+    FROM part, i
+    WHERE (CAST(p_size AS DOUBLE) - mux) * (CAST(p_size AS DOUBLE) - mux) * i11
+        + 2.0 * (CAST(p_size AS DOUBLE) - mux) * (CAST(p_retailprice AS DOUBLE) - muy) * i12
+        + (CAST(p_retailprice AS DOUBLE) - muy) * (CAST(p_retailprice AS DOUBLE) - muy) * i22
+        > {CHI2_99_DF2!r}
+    """
+
+
+# §7 step 6 — PSI between two slices over fixed bins
+
+PSI_LO, PSI_HI, PSI_BINS = 900.0, 105000.0, 10
+
+
+def _psi_hist(li: DataFrame, flag: str) -> DataFrame:
+    width = (PSI_HI - PSI_LO) / PSI_BINS
+    b = F.floor((F.col("l_extendedprice") - F.lit(PSI_LO)) / F.lit(width)).cast("int")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(PSI_BINS - 1))
+    return (
+        li.filter(F.col("l_returnflag") == flag)
+        .withColumn("bin", b)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bins = spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    pa = _psi_hist(li, "A").withColumnRenamed("n", "na")
+    pn = _psi_hist(li, "N").withColumnRenamed("n", "nn")
+    j = (
+        bins.join(pa, "bin", "left")
+        .join(pn, "bin", "left")
+        .select("bin", F.coalesce("na", F.lit(0)).alias("na"), F.coalesce("nn", F.lit(0)).alias("nn"))
+    )
+    tot = j.agg(F.sum("na").alias("ta"), F.sum("nn").alias("tn")).first()
+    eps = 1e-6
+    p = F.greatest(F.col("na").cast("double") / F.lit(float(tot["ta"])), F.lit(eps))
+    q = F.greatest(F.col("nn").cast("double") / F.lit(float(tot["tn"])), F.lit(eps))
+    return j.withColumn("psi_term", F.round((p - q) * F.log(p / q), 8)).select("bin", "na", "nn", "psi_term")
+
+
+def o_drift_psi() -> str:
+    width = (PSI_HI - PSI_LO) / PSI_BINS
+    return f"""
+    WITH binned AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((l_extendedprice - {PSI_LO!r}) / {width!r}) AS INT), 0), {PSI_BINS - 1}) AS bin,
+             l_returnflag
+      FROM lineitem WHERE l_returnflag IN ('A','N')
+    ), h AS (
+      SELECT r.bin,
+        SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS na,
+        SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END) AS nn
+      FROM (SELECT UNNEST(range({PSI_BINS})) AS bin) r
+      LEFT JOIN binned b ON b.bin = r.bin
+      GROUP BY r.bin
+    ), t AS (SELECT CAST(SUM(na) AS DOUBLE) ta, CAST(SUM(nn) AS DOUBLE) tn FROM h)
+    SELECT bin, na, nn,
+      ROUND((GREATEST(CAST(na AS DOUBLE) / ta, 1e-6) - GREATEST(CAST(nn AS DOUBLE) / tn, 1e-6))
+        * LN(GREATEST(CAST(na AS DOUBLE) / ta, 1e-6) / GREATEST(CAST(nn AS DOUBLE) / tn, 1e-6)), 8) AS psi_term
+    FROM h, t
+    """
+
+
+# binned two-sample KS via cumulative window over bins
+
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = q_drift_psi(spark, sf_dir).select("bin", "na", "nn")
+    tot = j.agg(F.sum("na").alias("ta"), F.sum("nn").alias("tn")).first()
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdfa = F.sum("na").over(w).cast("double") / F.lit(float(tot["ta"]))
+    cdfn = F.sum("nn").over(w).cast("double") / F.lit(float(tot["tn"]))
+    return (
+        j.withColumn("gap", F.abs(cdfa - cdfn))
+        .agg(F.round(F.max("gap"), 8).alias("ks_stat"))
+    )
+
+
+def o_drift_ks() -> str:
+    width = (PSI_HI - PSI_LO) / PSI_BINS
+    return f"""
+    WITH binned AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((l_extendedprice - {PSI_LO!r}) / {width!r}) AS INT), 0), {PSI_BINS - 1}) AS bin,
+             l_returnflag
+      FROM lineitem WHERE l_returnflag IN ('A','N')
+    ), h AS (
+      SELECT r.bin,
+        SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS na,
+        SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END) AS nn
+      FROM (SELECT UNNEST(range({PSI_BINS})) AS bin) r
+      LEFT JOIN binned b ON b.bin = r.bin
+      GROUP BY r.bin
+    ), t AS (SELECT CAST(SUM(na) AS DOUBLE) ta, CAST(SUM(nn) AS DOUBLE) tn FROM h),
+    c AS (
+      SELECT bin,
+        CAST(SUM(na) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t.ta AS cdfa,
+        CAST(SUM(nn) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t.tn AS cdfn
+      FROM h, t
+    )
+    SELECT ROUND(MAX(ABS(cdfa - cdfn)), 8) AS ks_stat FROM c
+    """
+
+
+# ---------------------------------------------------------------------------
+# text-analysis suite over documents (training-data-pipeline ops)
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("char_len"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("n_stopwords"),
+    ).withColumn(
+        "stopword_ratio",
+        F.round(F.col("n_stopwords").cast("double") / F.col("n_tokens"), 8),
+    )
+
+
+def o_text_token_stats() -> str:
+    return f"""
+    SELECT doc_id, lang, LENGTH(text) AS char_len,
+           LEN(string_split(text, ' ')) AS n_tokens,
+           LEN(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+           LEN(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL})) AS n_stopwords,
+           ROUND(CAST(LEN(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL})) AS DOUBLE)
+                 / LEN(string_split(text, ' ')), 8) AS stopword_ratio
+    FROM documents
+    """
+
+
+def q_text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    bucket = (
+        F.when(uniq_ratio >= 0.8, "high")
+        .when(uniq_ratio >= 0.5, "medium")
+        .otherwise("low")
+    )
+    return (
+        d.withColumn("quality", bucket)
+        .groupBy("lang", "quality")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def o_text_quality_buckets() -> str:
+    return """
+    SELECT lang,
+      CASE WHEN CAST(LEN(list_distinct(string_split(text,' '))) AS DOUBLE) / LEN(string_split(text,' ')) >= 0.8 THEN 'high'
+           WHEN CAST(LEN(list_distinct(string_split(text,' '))) AS DOUBLE) / LEN(string_split(text,' ')) >= 0.5 THEN 'medium'
+           ELSE 'low' END AS quality,
+      COUNT(*) AS n, SUM(n_chars) AS sum_chars
+    FROM documents GROUP BY 1, 2
+    """
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    # exact dedup at content grain; prefix-of-3-tokens "shingle key" also
+    # shown so the query returns non-trivial groups on this corpus
+    key = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))
+    return (
+        d.withColumn("prefix_key", key)
+        .groupBy("prefix_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def o_dedup_exact() -> str:
+    return """
+    SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix_key,
+           COUNT(*) AS n, MIN(doc_id) AS keep_doc_id
+    FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    """
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-gram (token) Jaccard near-dup pairs among the first 40 docs."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    )
+    s = d.select(F.col("doc_id").alias("id"), shingles.alias("sh"))
+    a = s.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    return (
+        pairs.select("id_a", "id_b", F.round(jac, 8).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+def o_ngram_jaccard_pairs() -> str:
+    return """
+    WITH s AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(range(1, LEN(string_split(text,' '))),
+               i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS sh
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / LEN(list_distinct(list_concat(a.sh, b.sh))), 8) AS jaccard
+    FROM s a JOIN s b ON a.id < b.id
+    WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / LEN(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+    """
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings: brute-force cosine top-k
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.posexplode("embedding").alias("pos", "qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("label").alias("clabel"),
+        F.posexplode("embedding").alias("pos", "cv"),
+    )
+    dots = (
+        q.join(c, "pos")
+        .groupBy("qid", "cid", "clabel")
+        .agg(
+            F.sum((F.col("qv").cast("double") * F.col("cv").cast("double")).cast("decimal(28,12)"))
+            .cast("double").alias("dot"),
+            F.sum((F.col("qv").cast("double") * F.col("qv").cast("double")).cast("decimal(28,12)"))
+            .cast("double").alias("qq"),
+            F.sum((F.col("cv").cast("double") * F.col("cv").cast("double")).cast("decimal(28,12)"))
+            .cast("double").alias("cc"),
+        )
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", F.round(F.col("dot") / F.sqrt(F.col("qq") * F.col("cc")), 8))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        dots.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "cid", "clabel", "cosine", "rk")
+    )
+
+
+def o_ann_cosine_topk() -> str:
+    return """
+    WITH q AS (
+      SELECT vec_id AS qid, i AS pos, CAST(embedding[i] AS DOUBLE) AS qv
+      FROM embeddings, UNNEST(range(1, LEN(embedding) + 1)) AS t(i)
+      WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS cid, label AS clabel, i AS pos, CAST(embedding[i] AS DOUBLE) AS cv
+      FROM embeddings, UNNEST(range(1, LEN(embedding) + 1)) AS t(i)
+    ), d AS (
+      SELECT qid, cid, clabel,
+        CAST(SUM(CAST(qv * cv AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+        CAST(SUM(CAST(qv * qv AS DECIMAL(28,12))) AS DOUBLE) AS qq,
+        CAST(SUM(CAST(cv * cv AS DECIMAL(28,12))) AS DOUBLE) AS cc
+      FROM q JOIN c USING (pos)
+      GROUP BY qid, cid, clabel
+    ), r AS (
+      SELECT qid, cid, clabel, ROUND(dot / SQRT(qq * cc), 8) AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(dot / SQRT(qq * cc), 8) DESC, cid ASC) AS rk
+      FROM d WHERE qid <> cid
+    )
+    SELECT qid, cid, clabel, cosine, rk FROM r WHERE rk <= 5
+    """
+
+
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # exact decimal sum of squared elements (posexplode; Spark decimal fold
+    # in F.aggregate rounds at every step, so the flat-sum form is used)
+    norm2 = (
+        emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("v").cast("double") * F.col("v").cast("double")).cast("decimal(28,12)"))
+            .cast("double").alias("norm2")
+        )
+    )
+    return (
+        norm2.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("norm2").cast("decimal(28,12)")).cast("double").alias("sum_norm2"),
+        )
+        .withColumn("mean_norm2", F.round(F.col("sum_norm2") / F.col("n"), 8))
+    )
+
+
+def o_embedding_label_stats() -> str:
+    return """
+    WITH n AS (
+      SELECT label,
+        CAST(list_sum(list_transform(embedding,
+             x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE) AS norm2
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n,
+      CAST(SUM(CAST(norm2 AS DECIMAL(28,12))) AS DOUBLE) AS sum_norm2,
+      ROUND(CAST(SUM(CAST(norm2 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 8) AS mean_norm2
+    FROM n GROUP BY label
+    """
+
+
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "column_stats_profile": q_column_stats_profile,
+        "null_rate_gate": q_null_rate_gate,
+        "uniqueness_violations": q_uniqueness_violations,
+        "uniqueness_summary": q_uniqueness_summary,
+        "referential_orphans": q_referential_orphans,
+        "semi_join_active": q_semi_join_active,
+        "anti_join_inactive": q_anti_join_inactive,
+        "groupby_pricing_summary": q_groupby_pricing_summary,
+        "pivot_status_matrix": q_pivot_status_matrix,
+        "unpivot_measures": q_unpivot_measures,
+        "window_last_event": q_window_last_event,
+        "window_topk_orders": q_window_topk_orders,
+        "window_group_share": q_window_group_share,
+        "rollup_totals": q_rollup_totals,
+        "union_schema_fill": q_union_schema_fill,
+        "topk_global": q_topk_global,
+        "derived_filters": q_derived_filters,
+        "full_outer_agreement": q_full_outer_agreement,
+        "mahalanobis_flags": q_mahalanobis_flags,
+        "drift_psi": q_drift_psi,
+        "drift_ks": q_drift_ks,
+        "text_token_stats": q_text_token_stats,
+        "text_quality_buckets": q_text_quality_buckets,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_label_stats": q_embedding_label_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "column_stats_profile": o_column_stats_profile(),
+        "null_rate_gate": o_null_rate_gate(),
+        "uniqueness_violations": o_uniqueness_violations(),
+        "uniqueness_summary": o_uniqueness_summary(),
+        "referential_orphans": o_referential_orphans(),
+        "semi_join_active": o_semi_join_active(),
+        "anti_join_inactive": o_anti_join_inactive(),
+        "groupby_pricing_summary": o_groupby_pricing_summary(),
+        "pivot_status_matrix": o_pivot_status_matrix(),
+        "unpivot_measures": o_unpivot_measures(),
+        "window_last_event": o_window_last_event(),
+        "window_topk_orders": o_window_topk_orders(),
+        "window_group_share": o_window_group_share(),
+        "rollup_totals": o_rollup_totals(),
+        "union_schema_fill": o_union_schema_fill(),
+        "topk_global": o_topk_global(),
+        "derived_filters": o_derived_filters(),
+        "full_outer_agreement": o_full_outer_agreement(),
+        "mahalanobis_flags": o_mahalanobis_flags(),
+        "drift_psi": o_drift_psi(),
+        "drift_ks": o_drift_ks(),
+        "text_token_stats": o_text_token_stats(),
+        "text_quality_buckets": o_text_quality_buckets(),
+        "dedup_exact": o_dedup_exact(),
+        "ngram_jaccard_pairs": o_ngram_jaccard_pairs(),
+        "ann_cosine_topk": o_ann_cosine_topk(),
+        "embedding_label_stats": o_embedding_label_stats(),
+    }

@@ -1,0 +1,162 @@
+"""Planted-violation tests for every check family (SURVEY.md §5.2):
+deterministic synthetic frames with known-bad rows; assert the check
+flags exactly those and nothing else."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from anomalydetection_spark import ValidationSuite
+from anomalydetection_spark.checks import (
+    ColumnStatsCheck,
+    DriftCheck,
+    InSetCheck,
+    MahalanobisCheck,
+    NotNullCheck,
+    NotInSetCheck,
+    RangeCheck,
+    ReferentialCheck,
+    RlikeCheck,
+    RobustZScoreCheck,
+    UniquenessCheck,
+)
+from anomalydetection_spark.checks.drift import histogram, ks_from_histograms, psi_from_histograms
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    """Tiny image-metadata-shaped table with planted violations
+    (FIXTURES.md §1 shape): dup ids, unknown fmt, null captions, one
+    extreme (w, h) outlier."""
+    rows = []
+    for i in range(200):
+        rows.append((f"img_{i:04d}", 100 + (i % 7), 100 + (i % 5), "jpeg" if i % 5 else "png",
+                     f"caption {i}", i * 7919 % 1000))
+    rows.append(("img_0000", 101, 102, "jpeg", "dup id", 1))          # dup image_id
+    rows.append(("img_9998", 103, 104, "bmp", "bad fmt", 2))          # fmt orphan
+    rows.append(("img_9999", 105, 106, "jpeg", None, 3))              # null caption
+    rows.append(("img_9997", 5000, 5000, "jpeg", "outlier", 4))       # w/h outlier
+    return spark.createDataFrame(
+        rows, "image_id string, w int, h int, fmt string, caption string, phash long"
+    ).cache()
+
+
+def _violation_ids(result, check_prefix):
+    v = result.violations.filter(F.col("_check").startswith(check_prefix))
+    return {r["image_id"] for r in v.select("image_id").collect()}
+
+
+def test_not_null(spark, images):
+    res = ValidationSuite([NotNullCheck("caption", keys=["image_id"])], "images").run(images)
+    assert _violation_ids(res, "not_null") == {"img_9999"}
+    row = res.verdicts.filter("metric = 'violation_rate'").first()
+    assert not row["passed"] and row["value"] == pytest.approx(1 / 204)
+
+
+def test_in_set(spark, images):
+    res = ValidationSuite([InSetCheck("fmt", ["jpeg", "png", "webp"], keys=["image_id"])], "images").run(images)
+    assert _violation_ids(res, "in_set") == {"img_9998"}
+
+
+def test_not_in_set(spark, images):
+    res = ValidationSuite([NotInSetCheck("fmt", ["bmp"], keys=["image_id"])], "images").run(images)
+    assert _violation_ids(res, "not_in_set") == {"img_9998"}
+
+
+def test_rlike(spark, images):
+    res = ValidationSuite(
+        [RlikeCheck("image_id", r"^img_\d{4}$", must_match=True, keys=["image_id"])], "images"
+    ).run(images)
+    assert _violation_ids(res, "rlike") == set()
+
+
+def test_range(spark, images):
+    res = ValidationSuite([RangeCheck("w", 16, 4096, keys=["image_id"])], "images").run(images)
+    assert _violation_ids(res, "range") == {"img_9997"}
+
+
+def test_uniqueness(spark, images):
+    res = ValidationSuite([UniquenessCheck(["image_id"])], "images").run(images)
+    ids = _violation_ids(res, "unique")
+    assert ids == {"img_0000"}
+    dup_rate = res.verdicts.filter("metric = 'duplicate_row_rate'").first()
+    assert dup_rate["value"] == pytest.approx(2 / 204)
+    assert not dup_rate["passed"]
+    # HLL tier must not false-positive on the unique phash-free slice
+    res2 = ValidationSuite([UniquenessCheck(["image_id", "caption"])], "images").run(
+        images.filter("caption is not null")
+    )
+    hll = res2.verdicts.filter("metric = 'approx_duplicate_rate'").first()
+    assert hll["passed"]
+
+
+def test_referential(spark, images):
+    dim = spark.createDataFrame([("jpeg",), ("png",), ("webp",)], "fmt string")
+    res = ValidationSuite(
+        [ReferentialCheck("fmt", dim, keys=["image_id", "fmt"])], "images"
+    ).run(images)
+    assert _violation_ids(res, "referential") == {"img_9998"}
+    # list-backed dimension compiles to isin (no join)
+    res2 = ValidationSuite(
+        [ReferentialCheck("fmt", ["jpeg", "png", "webp"], keys=["image_id"])], "images"
+    ).run(images)
+    assert _violation_ids(res2, "referential") == {"img_9998"}
+
+
+def test_robust_zscore(spark, images):
+    res = ValidationSuite(
+        [RobustZScoreCheck("w", threshold=10.0, keys=["image_id"])], "images"
+    ).run(images)
+    assert _violation_ids(res, "robust_z") == {"img_9997"}
+
+
+def test_mahalanobis(spark, images):
+    res = ValidationSuite(
+        [MahalanobisCheck(["w", "h"], alpha=0.999, keys=["image_id"])], "images"
+    ).run(images)
+    assert "img_9997" in _violation_ids(res, "mahalanobis")
+    cut = res.verdicts.filter("metric = 'chi2_cutoff'").first()
+    assert cut["value"] == pytest.approx(13.815510557964274)  # qchisq(.999, 2)
+
+
+def test_column_stats_constraints(spark, images):
+    res = ValidationSuite(
+        [ColumnStatsCheck("w", constraints={"max": (None, 4096.0), "null_rate": (None, 0.0)})],
+        "images",
+    ).run(images)
+    bad = {r["metric"] for r in res.verdicts.filter("passed = false").collect()}
+    assert bad == {"max"}
+
+
+def test_drift_detects_shift(spark):
+    base = spark.range(0, 4000).select((F.col("id") % 100).cast("double").alias("x"))
+    shifted = spark.range(0, 4000).select(((F.col("id") % 100) + 40).cast("double").alias("x"))
+    hb = {r["bin"]: r["n"] for r in histogram(base, "x", 0, 200, 20).collect()}
+    baseline = {(): [hb.get(i, 0) for i in range(20)]}
+    check = DriftCheck("x", 0, 200, 20, baseline, max_psi=0.1, max_ks=0.1)
+    same = check.run_extra(base)
+    assert all(v["passed"] for v in same)
+    drifted = check.run_extra(shifted)
+    assert any(not v["passed"] for v in drifted)
+
+
+def test_psi_ks_math():
+    p = [0.25, 0.25, 0.25, 0.25]
+    assert psi_from_histograms(p, p) == pytest.approx(0.0)
+    assert ks_from_histograms(p, p) == pytest.approx(0.0)
+    q = [0.4, 0.3, 0.2, 0.1]
+    assert ks_from_histograms(p, q) == pytest.approx(0.2)  # |0.25-0.4|, |0.5-0.7|=0.2 max
+    assert psi_from_histograms(p, q) > 0
+
+
+def test_per_partition_verdicts(spark, images):
+    res = ValidationSuite(
+        [NotNullCheck("caption", keys=["image_id"])], "images", partition_by=["fmt"]
+    ).run(images)
+    parts = {r["partition"]: r["passed"] for r in
+             res.verdicts.filter("metric = 'violation_rate'").collect()}
+    assert parts[""] is False          # global slice sees the null
+    assert parts["jpeg"] is False      # the null caption is a jpeg row
+    assert parts["png"] is True
+    assert parts["bmp"] is True
