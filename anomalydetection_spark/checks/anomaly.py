@@ -138,6 +138,8 @@ class MahalanobisCheck(Check):
     def _solve(self, stats: dict[str, Any]) -> None:
         k = len(self.cols)
         n = stats[f"{self._slug}__n"]
+        if n is None or n < 2:
+            return
         s = np.array([stats[f"{self._slug}__s_{i}"] for i in range(k)], dtype=float)
         mu = s / n
         cov = np.zeros((k, k))
@@ -153,7 +155,11 @@ class MahalanobisCheck(Check):
             sinv = np.linalg.inv(cov)
         except np.linalg.LinAlgError:
             sinv = np.linalg.inv(cov + np.eye(k) * 1e-9 * np.trace(cov))
-        self._mu, self._sinv = mu, sinv
+        # the suite evaluates the GLOBAL stats row first, then per-partition
+        # slices; keep the first (global) fit as the scoring model so
+        # violations() uses table-level moments, not the last partition's
+        if self._mu is None:
+            self._mu, self._sinv = mu, sinv
 
     def md2_expr(self) -> Column:
         """Squared Mahalanobis distance as a pure JVM expression."""

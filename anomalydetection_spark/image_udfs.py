@@ -1,0 +1,127 @@
+"""Image decode/validation — Arrow-batched, never per-row Python.
+
+The per-row invariant (BASELINE.json:15): decoded pixels must match the
+reference decode — exactly for lossless formats, PSNR ≥ 40 dB for lossy —
+and captions must equal the source strings.  The reference's analog is
+its per-record scoring loop; ours is a ``mapInPandas`` iterator UDF so
+(a) payload bytes cross the JVM↔Python boundary as Arrow record batches,
+(b) codec state is initialized once per task, not per row, and
+(c) the UDF's output is a narrow verdict frame — the binary column never
+travels further than the task that decoded it (critical at 10^12 rows:
+shuffling image bytes is the #1 scale killer, so all decode checks are
+shuffle-free map-only stages).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from anomalydetection_spark.checks.base import Check, VIOLATION_KEY_COL, verdict
+from anomalydetection_spark.functions.png import decode_image, psnr
+from anomalydetection_spark.synth import pattern_pixels
+
+DECODE_RESULT_SCHEMA = (
+    "image_id string, fmt string, decode_ok boolean, width int, height int, "
+    "psnr_db double, pixels_match boolean"
+)
+
+PSNR_MIN_LOSSY = 40.0
+LOSSLESS_FMTS = {"png"}
+
+
+def _reference_pixels(image_id: str, w: int, h: int) -> np.ndarray | None:
+    """Re-derive the procedural reference image from the row identity
+    (stands in for 'fetch the reference decode' in production)."""
+    try:
+        idx = int(image_id.split("_")[-1])
+    except ValueError:
+        return None
+    return pattern_pixels(w, h, idx)
+
+
+def decode_validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (image_id, bytes, fmt) → decode verdicts."""
+    for pdf in batches:
+        out = {k: [] for k in
+               ("image_id", "fmt", "decode_ok", "width", "height", "psnr_db", "pixels_match")}
+        for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+            ok, w = True, None
+            h = None
+            p_db = None
+            match = None
+            try:
+                px = decode_image(bytes(data), fmt)
+                h, w = int(px.shape[0]), int(px.shape[1])
+                ref = _reference_pixels(image_id, w, h)
+                if ref is not None and ref.shape == px.shape:
+                    p_db = psnr(ref, px)
+                    if fmt in LOSSLESS_FMTS:
+                        match = bool(np.array_equal(ref, px))
+                    else:
+                        match = bool(p_db >= PSNR_MIN_LOSSY)
+                    if np.isinf(p_db):
+                        p_db = 999.0
+                else:
+                    match = False
+            except Exception:
+                ok = False
+                match = False
+            out["image_id"].append(image_id)
+            out["fmt"].append(fmt)
+            out["decode_ok"].append(ok)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["psnr_db"].append(p_db)
+            out["pixels_match"].append(match)
+        yield pd.DataFrame(out)
+
+
+def decode_results(images: DataFrame) -> DataFrame:
+    """Narrow → decode → verdict frame. Map-only: no shuffle of bytes."""
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        decode_validate, DECODE_RESULT_SCHEMA
+    )
+
+
+class DecodeCheck(Check):
+    """Decodability + pixel-invariant check over the bytes column."""
+
+    def __init__(self, max_violation_rate: float = 0.0):
+        self.max_violation_rate = max_violation_rate
+        self.name = "decode:bytes"
+        self._results: DataFrame | None = None
+
+    def _res(self, df: DataFrame) -> DataFrame:
+        if self._results is None:
+            self._results = decode_results(df)
+        return self._results
+
+    def run_extra(self, df: DataFrame) -> list[dict]:
+        agg = self._res(df).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~F.col("decode_ok")).cast("long")).alias("bad_decode"),
+            F.sum((~F.coalesce(F.col("pixels_match"), F.lit(False))).cast("long")).alias("bad_pixels"),
+            F.min("psnr_db").alias("min_psnr"),
+        ).first()
+        n = agg["n"] or 1
+        return [
+            verdict(self.name, "bytes", "decode_failure_rate",
+                    (agg["bad_decode"] or 0) / n, None, self.max_violation_rate),
+            verdict(self.name, "bytes", "pixel_mismatch_rate",
+                    (agg["bad_pixels"] or 0) / n, None, self.max_violation_rate),
+            verdict(self.name, "bytes", "min_psnr_db",
+                    agg["min_psnr"], PSNR_MIN_LOSSY, None),
+        ]
+
+    def violations(self, df: DataFrame) -> DataFrame | None:
+        return (
+            self._res(df)
+            .filter(~F.col("decode_ok") | ~F.coalesce(F.col("pixels_match"), F.lit(False)))
+            .select("image_id", "fmt", "psnr_db")
+            .withColumn(VIOLATION_KEY_COL, F.lit(self.name))
+        )

@@ -1,0 +1,128 @@
+"""The flagship plan: full validation suite for the image/caption table.
+
+This is the engine's production entry — the complete re-expression of the
+reference's per-record scoring pipeline (SURVEY.md table in the header)
+over the authoritative input shape ``(image_id, bytes, w, h, fmt,
+caption, phash)``:
+
+  schema gate → single-pass column stats → row constraints → uniqueness
+  (image_id, phash) → referential (fmt) → robust-z / Mahalanobis on the
+  metadata feature vector → drift vs baseline histograms → decode/PSNR.
+
+Job count is O(#check-families), not O(#checks): stats-class checks share
+ONE fused aggregation; the bytes column is touched only by the map-only
+decode stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from anomalydetection_spark.checks import (
+    ColumnStatsCheck,
+    DriftCheck,
+    InSetCheck,
+    MahalanobisCheck,
+    NotNullCheck,
+    RangeCheck,
+    ReferentialCheck,
+    RlikeCheck,
+    RobustZScoreCheck,
+    UniquenessCheck,
+)
+from anomalydetection_spark.suite import SuiteResult, ValidationSuite
+
+EXPECTED_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+KEYS = ["image_id"]
+
+
+def schema_verdicts(df: DataFrame) -> list[dict]:
+    """Programmatic schema gate (replaces the reference's required-column
+    shinyalerts, /root/reference/PRIME_App/server.R:1040-1081)."""
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    out = []
+    for f in EXPECTED_SCHEMA.fields:
+        present = f.name in actual
+        type_ok = present and actual[f.name] == f.dataType
+        out.append(
+            {
+                "check": "schema", "column": f.name, "metric": "present_and_typed",
+                "value": 1.0 if type_ok else 0.0, "lo": 1.0, "hi": None,
+                "passed": bool(type_ok),
+            }
+        )
+    return out
+
+
+def build_image_suite(
+    fmt_dim: DataFrame | list,
+    drift_baseline: dict | None = None,
+    with_decode: bool = True,
+    partition_by: list[str] = ("fmt",),
+) -> ValidationSuite:
+    checks = [
+        ColumnStatsCheck("w", constraints={"null_rate": (None, 0.0), "min": (16.0, None), "max": (None, 8192.0)}),
+        ColumnStatsCheck("h", constraints={"null_rate": (None, 0.0), "min": (16.0, None), "max": (None, 8192.0)}),
+        ColumnStatsCheck("phash", constraints={"null_rate": (None, 0.0)}),
+        NotNullCheck("image_id", keys=KEYS),
+        NotNullCheck("caption", max_null_rate=0.001, keys=KEYS),
+        RlikeCheck("image_id", r"^img_\d+$", must_match=True, keys=KEYS),
+        InSetCheck("fmt", ["jpeg", "png", "webp"], max_violation_rate=0.0005, keys=KEYS),
+        RangeCheck("w", 16, 8192, keys=KEYS),
+        RangeCheck("h", 16, 8192, keys=KEYS),
+        UniquenessCheck(["image_id"], max_duplicate_rate=0.0005),
+        UniquenessCheck(["phash"], max_duplicate_rate=0.05, hll_only=True),
+        ReferentialCheck("fmt", fmt_dim, "fmt", max_violation_rate=0.0005, keys=KEYS + ["fmt"]),
+        RobustZScoreCheck("w", threshold=6.0, max_violation_rate=0.01, keys=KEYS),
+        MahalanobisCheck(["w", "h"], alpha=0.999, max_violation_rate=0.01, keys=KEYS),
+    ]
+    if drift_baseline is not None:
+        checks.append(
+            DriftCheck("w", lo=16, hi=2048, nbins=64, baseline=drift_baseline,
+                       group_cols=["fmt"], max_psi=0.2, max_ks=0.15)
+        )
+    if with_decode:
+        from anomalydetection_spark.image_udfs import DecodeCheck
+
+        checks.append(DecodeCheck(max_violation_rate=0.001))
+    return ValidationSuite(checks, table_name="images", partition_by=list(partition_by))
+
+
+def run_image_validation(
+    spark: SparkSession,
+    images: DataFrame,
+    fmt_dim: DataFrame | list | None = None,
+    drift_baseline: dict | None = None,
+    with_decode: bool = True,
+) -> SuiteResult:
+    if fmt_dim is None:
+        fmt_dim = ["jpeg", "png", "webp"]
+    suite = build_image_suite(fmt_dim, drift_baseline, with_decode)
+    res = suite.run(images, spark)
+    extra = [
+        dict(v, table="images", partition="") for v in schema_verdicts(images)
+    ]
+    if extra:
+        sdf = spark.createDataFrame(
+            [
+                (e["table"], e["partition"], e["check"], e["column"], e["metric"],
+                 e["value"], e["lo"], e["hi"], e["passed"])
+                for e in extra
+            ],
+            schema=res.verdicts.schema,
+        )
+        res.verdicts = sdf.unionByName(res.verdicts)
+    return res

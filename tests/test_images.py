@@ -1,0 +1,142 @@
+"""Image-payload path: codec roundtrips, synth determinism + planted
+violations, decode UDF invariants, and the flagship image suite
+end-to-end against the generator's ground-truth manifest."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from anomalydetection_spark.functions.png import (
+    decode_image,
+    decode_png,
+    encode_lossy,
+    encode_png,
+    psnr,
+)
+from anomalydetection_spark.image_udfs import DecodeCheck, decode_results
+from anomalydetection_spark.plans.image_suite import run_image_validation
+from anomalydetection_spark.synth import (
+    fmt_dimension,
+    generate_distributed,
+    generate_pandas,
+    pattern_pixels,
+    phash_of,
+)
+
+N = 1200
+
+
+@pytest.fixture(scope="module")
+def images_pd():
+    return generate_pandas(N, with_payload=True)
+
+
+@pytest.fixture(scope="module")
+def images_df(spark, images_pd):
+    from anomalydetection_spark.synth import to_spark
+
+    pdf, _ = images_pd
+    return to_spark(spark, pdf).cache()
+
+
+def test_png_roundtrip_and_filters():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (21, 33, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_lossy_psnr_above_threshold():
+    px = pattern_pixels(64, 48, 3)
+    for fmt in ("jpeg", "webp"):
+        rec = decode_image(encode_lossy(px, fmt), fmt)
+        assert psnr(px, rec) >= 40.0
+
+
+def test_synth_deterministic():
+    a, ma = generate_pandas(300)
+    b, mb = generate_pandas(300)
+    assert a.drop(columns=["bytes"]).equals(b.drop(columns=["bytes"]))
+    assert all(x == y for x, y in zip(a["bytes"], b["bytes"]))
+    assert ma.equals(mb)
+
+
+def test_synth_plants_all_violation_kinds():
+    _, man = generate_pandas(20_000, with_payload=False)
+    kinds = set(man["check"])
+    assert {"unique:image_id", "referential:fmt", "not_null:caption", "decode:bytes"} <= kinds
+
+
+def test_phash_locality():
+    a = pattern_pixels(64, 64, 10)
+    assert phash_of(a) == phash_of(a)
+    b = pattern_pixels(64, 64, 163)  # far-apart phase → different image
+    assert phash_of(a) != phash_of(b)
+
+
+def test_decode_results_invariants(spark, images_pd, images_df):
+    pdf, man = images_pd
+    res = decode_results(images_df).toPandas().set_index("image_id")
+    planted_bad = set(man[man["check"] == "decode:bytes"]["image_id"])
+    flagged = set(res[~res["decode_ok"]].index)
+    assert flagged == planted_bad
+    good = res[res["decode_ok"]]
+    # lossless rows decode exactly; lossy rows ≥ 40 dB
+    assert bool(good["pixels_match"].all())
+    lossy = good[good["fmt"].isin(["jpeg", "webp"])]
+    assert float(lossy["psnr_db"].min()) >= 40.0
+
+
+def test_image_suite_end_to_end(spark, images_pd, images_df):
+    pdf, man = images_pd
+    res = run_image_validation(spark, images_df, fmt_dimension(spark))
+    schema_rows = res.verdicts.filter("check = 'schema'").collect()
+    assert len(schema_rows) == 7
+    assert all(r["passed"] for r in schema_rows)  # every column present+typed
+    # and the gate actually bites: break the type, expect a failure
+    bad = run_image_validation(
+        spark, images_df.withColumn("w", F.col("w").cast("long")), with_decode=False
+    )
+    assert bad.verdicts.filter("check = 'schema' and passed = false").count() == 1
+    # planted dup ids must be caught exactly
+    viol = res.violations.toPandas()
+    dup_ids = set(man[man["check"] == "unique:image_id"]["image_id"])
+    got_dups = set(viol[viol["_check"] == "unique:image_id"]["image_id"])
+    assert dup_ids <= got_dups
+    # planted fmt orphans caught
+    orphan_ids = set(man[man["check"] == "referential:fmt"]["image_id"])
+    got_orphans = set(viol[viol["_check"] == "referential:fmt"]["image_id"])
+    assert orphan_ids == got_orphans
+    # planted nulls caught
+    null_ids = set(man[man["check"] == "not_null:caption"]["image_id"])
+    got_nulls = set(viol[viol["_check"] == "not_null:caption"]["image_id"])
+    assert null_ids == got_nulls
+    # decode violations caught (corrupt payloads)
+    bad_ids = set(man[man["check"] == "decode:bytes"]["image_id"])
+    got_bad = set(viol[viol["_check"] == "decode:bytes"]["image_id"])
+    assert bad_ids <= got_bad
+
+
+def test_distributed_generator_matches_pandas(spark):
+    ddf = generate_distributed(spark, 200, with_payload=False, partitions=4)
+    d = ddf.orderBy("image_id").toPandas()
+    p, _ = generate_pandas(200, with_payload=False)
+    p = p.sort_values("image_id").reset_index(drop=True)
+    assert list(d["image_id"]) == list(p["image_id"])
+    assert list(d["w"]) == list(p["w"])
+    assert list(d["fmt"]) == list(p["fmt"])
+    assert list(d["phash"]) == list(p["phash"])
+
+
+def test_repartition_invariance(spark, images_df):
+    """Distributed-correctness property the R reference never needed:
+    verdicts identical under any repartitioning (SURVEY.md §5.2)."""
+    a = run_image_validation(spark, images_df, with_decode=False)
+    b = run_image_validation(spark, images_df.repartition(13), with_decode=False)
+    pa = a.verdicts.orderBy("check", "column", "metric", "partition").toPandas()
+    pb = b.verdicts.orderBy("check", "column", "metric", "partition").toPandas()
+    num = pa["value"].astype(float).fillna(-1).to_numpy()
+    numb = pb["value"].astype(float).fillna(-1).to_numpy()
+    assert np.allclose(num, numb, rtol=1e-9, atol=1e-12)
+    assert list(pa["passed"]) == list(pb["passed"])
