@@ -1,0 +1,228 @@
+"""Resumable validation runs: snapshot-pinned, per-unit checkpoint ledger.
+
+North-rule requirement (BASELINE.json ``north_rule``): runs over the
+10^12-row table must be *resumable from checkpoint with per-partition
+lineage + metrics rows*. The reference has no analog — it is a single
+eager R process whose only recovery is "re-upload the file"
+(``/root/reference/PRIME_App/server.R:666-790``); this module is the
+scale-out replacement (SURVEY.md §2.10, §4.2.5).
+
+Design
+------
+The input is split into **units** — either the values of a low-cardinality
+partition column (Iceberg identity-partition analog: unit scans become
+partition-pruned) or ``pmod(xxhash64(key), n_buckets)`` hash buckets
+(Iceberg ``bucket(N, image_id)`` analog: unit scans are a pushed-down
+filter over the same files, chosen when no physical partitioning exists).
+Each unit runs the full ValidationSuite on its slice; its verdicts,
+violations and a lineage/metrics row land under ``out_dir`` partitioned by
+``unit=...``; then a tiny JSON manifest ``_ledger/<unit>.json`` is
+committed via atomic rename. A crash between sink write and manifest
+commit re-runs that one unit — every sink write is an idempotent
+overwrite of the unit's own partition directory, so replays converge.
+
+Snapshot pinning: the ledger records a fingerprint of the input (Iceberg
+snapshot id when the table provides one; else sorted (path, size,
+mtime) digest of the parquet files). A resume against a *different*
+snapshot refuses to mix results unless ``allow_snapshot_change=True``.
+
+At cluster scale each unit is one Spark job over ~1/n of the data; units
+are sized so a unit's shuffle state fits comfortably in the cluster
+(n_buckets scales with table size, not executor count — the same ledger
+works at N and 4N executors, which is what makes the scaling-efficiency
+criterion measurable on an identical input).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from anomalydetection_spark.suite import ValidationSuite
+
+LEDGER_DIR = "_ledger"
+
+LINEAGE_SCHEMA = (
+    "unit string, snapshot string, rows long, checks int, verdicts int, "
+    "failed int, violation_rows long, elapsed_sec double, committed_at string"
+)
+
+
+def input_fingerprint(spark: SparkSession, path: str) -> str:
+    """Pin the input data version. Parquet-dir fallback for the sandbox;
+    an Iceberg deployment would use the table's current-snapshot-id (same
+    contract: equal fingerprint ⇔ same data version)."""
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.startswith("_") or f.startswith("."):
+                continue
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            entries.append(f"{os.path.relpath(p, path)}:{st.st_size}:{int(st.st_mtime)}")
+    digest = hashlib.sha256("\n".join(sorted(entries)).encode()).hexdigest()
+    return f"parquet:{digest[:16]}"
+
+
+@dataclass
+class UnitResult:
+    unit: str
+    rows: int
+    verdicts: int
+    failed: int
+    violation_rows: int
+    elapsed_sec: float
+    skipped: bool = False
+
+
+@dataclass
+class RunReport:
+    snapshot: str
+    units: list[UnitResult] = field(default_factory=list)
+
+    @property
+    def completed(self) -> int:
+        return len([u for u in self.units if not u.skipped])
+
+    @property
+    def resumed(self) -> int:
+        return len([u for u in self.units if u.skipped])
+
+
+class CheckpointedRunner:
+    """Drives a ValidationSuite unit-by-unit with an idempotent ledger."""
+
+    def __init__(
+        self,
+        suite: ValidationSuite,
+        out_dir: str,
+        unit_col: str | None = None,
+        bucket_key: str | None = None,
+        n_buckets: int = 16,
+        allow_snapshot_change: bool = False,
+    ):
+        if (unit_col is None) == (bucket_key is None):
+            raise ValueError("exactly one of unit_col / bucket_key is required")
+        from anomalydetection_spark.checks import RowCountCheck
+
+        if not any(isinstance(c, RowCountCheck) for c in suite.checks):
+            suite = ValidationSuite(
+                list(suite.checks) + [RowCountCheck()],
+                table_name=suite.table_name,
+                partition_by=suite.partition_by,
+            )
+        self.suite = suite
+        self.out_dir = out_dir
+        self.unit_col = unit_col
+        self.bucket_key = bucket_key
+        self.n_buckets = n_buckets
+        self.allow_snapshot_change = allow_snapshot_change
+
+    # -- ledger primitives -------------------------------------------------
+    def _ledger_path(self, unit: str) -> str:
+        return os.path.join(self.out_dir, LEDGER_DIR, f"{unit}.json")
+
+    def _commit(self, unit: str, payload: dict[str, Any]) -> None:
+        path = self._ledger_path(unit)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)  # atomic commit point
+
+    def _completed(self, unit: str, snapshot: str) -> dict | None:
+        path = self._ledger_path(unit)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            rec = json.load(f)
+        if rec.get("snapshot") != snapshot and not self.allow_snapshot_change:
+            raise RuntimeError(
+                f"unit {unit!r} was committed against snapshot "
+                f"{rec.get('snapshot')!r} but the input is now {snapshot!r}; "
+                "pass allow_snapshot_change=True to redo against the new "
+                "snapshot (stale units are re-run, not mixed)"
+            )
+        if rec.get("snapshot") != snapshot:
+            return None  # stale → re-run
+        return rec
+
+    # -- unit planning -------------------------------------------------------
+    def _units(self, df: DataFrame) -> list[tuple[str, DataFrame]]:
+        if self.unit_col is not None:
+            vals = [r[0] for r in df.select(self.unit_col).distinct().collect()]
+            return [
+                (f"{self.unit_col}={v}", df.filter(F.col(self.unit_col) == F.lit(v)))
+                for v in sorted(map(str, vals))
+            ]
+        b = F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.n_buckets))
+        return [
+            (f"bucket={i:04d}", df.filter(b == F.lit(i)))
+            for i in range(self.n_buckets)
+        ]
+
+    # -- main ---------------------------------------------------------------
+    def run(self, df: DataFrame, input_path: str | None = None,
+            snapshot: str | None = None) -> RunReport:
+        spark = df.sparkSession
+        if snapshot is None:
+            snapshot = (
+                input_fingerprint(spark, input_path) if input_path else "unpinned"
+            )
+        report = RunReport(snapshot=snapshot)
+        lineage_rows = []
+        for unit, slice_df in self._units(df):
+            rec = self._completed(unit, snapshot)
+            if rec is not None:
+                report.units.append(
+                    UnitResult(unit, rec["rows"], rec["verdicts"], rec["failed"],
+                               rec["violation_rows"], rec["elapsed_sec"], skipped=True)
+                )
+                continue
+            t0 = time.time()
+            res = self.suite.run(slice_df, spark)
+            unit_dir = os.path.join(self.out_dir, "verdicts", f"unit={unit}")
+            res.verdicts.write.mode("overwrite").parquet(unit_dir)
+            viol_rows = 0
+            if res.violations is not None:
+                vdir = os.path.join(self.out_dir, "violations", f"unit={unit}")
+                res.violations.write.mode("overwrite").parquet(vdir)
+                viol_rows = spark.read.parquet(vdir).count()
+            vlocal = res.verdicts.collect()
+            rows = int(next(
+                (v["value"] for v in vlocal
+                 if v["metric"] == "row_count" and v["partition"] == ""), -1,
+            ))
+            failed = len([v for v in vlocal if not v["passed"]])
+            elapsed = time.time() - t0
+            payload = {
+                "unit": unit, "snapshot": snapshot, "rows": rows,
+                "checks": len(self.suite.checks), "verdicts": len(vlocal),
+                "failed": failed, "violation_rows": viol_rows,
+                "elapsed_sec": round(elapsed, 3),
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            self._commit(unit, payload)
+            lineage_rows.append(payload)
+            report.units.append(
+                UnitResult(unit, rows, len(vlocal), failed, viol_rows, elapsed)
+            )
+        if lineage_rows:
+            spark.createDataFrame(
+                [
+                    (p["unit"], p["snapshot"], p["rows"], p["checks"], p["verdicts"],
+                     p["failed"], p["violation_rows"], p["elapsed_sec"], p["committed_at"])
+                    for p in lineage_rows
+                ],
+                schema=LINEAGE_SCHEMA,
+            ).write.mode("append").parquet(os.path.join(self.out_dir, "lineage"))
+        return report

@@ -6,6 +6,7 @@ from anomalydetection_spark.checks.row_constraints import (
     NotInSetCheck,
     RlikeCheck,
     RangeCheck,
+    RowCountCheck,
     PredicateCheck,
 )
 from anomalydetection_spark.checks.uniqueness import UniquenessCheck
@@ -23,6 +24,7 @@ __all__ = [
     "NotInSetCheck",
     "RlikeCheck",
     "RangeCheck",
+    "RowCountCheck",
     "PredicateCheck",
     "UniquenessCheck",
     "ReferentialCheck",

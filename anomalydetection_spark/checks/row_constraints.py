@@ -73,6 +73,32 @@ class PredicateCheck(Check):
         return out.withColumn(VIOLATION_KEY_COL, F.lit(self.name))
 
 
+class RowCountCheck(Check):
+    """Cardinality gate (reference: the "≥100 observations" / "≥3
+    indicators" asserts at ``PRIME_App/server.R:1040-1081``). Emits the
+    ``row_count`` metric the checkpoint ledger uses for per-unit lineage;
+    folds into the fused pass — no extra scan."""
+
+    def __init__(self, min_rows: int | None = None, max_rows: int | None = None):
+        self.name = "row_count"
+        self.min_rows = min_rows
+        self.max_rows = max_rows
+
+    def stats_exprs(self) -> list[Column]:
+        return [F.count(F.lit(1)).alias("row_count__rows")]
+
+    def verdicts(self, stats: dict[str, Any]) -> list[dict[str, Any]]:
+        n = stats.get("row_count__rows")
+        return [
+            verdict(
+                self.name, "", "row_count",
+                None if n is None else float(n),
+                None if self.min_rows is None else float(self.min_rows),
+                None if self.max_rows is None else float(self.max_rows),
+            )
+        ]
+
+
 class NotNullCheck(PredicateCheck):
     """Null-rate constraint (reference: most-recent-quarter gate
     ``sum(is.na(qtr4))/nrow < .5`` at ``PRIME_App/server.R:832-867``)."""

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + SURVEY.md §7 step 9).
+
+Runs, on ``local[$SPARK_GRAFT_CPUS]``:
+
+  1. the flagship image-validation suite over a deterministic synthetic
+     image/caption table (the engine's authoritative input shape) —
+     metadata-only suite at BENCH_IMAGE_ROWS rows, and the full
+     decode/PSNR suite at BENCH_PAYLOAD_ROWS rows with real payloads;
+  2. every ``queries()`` entry from ``__spark_entry__`` against
+     ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Each query is forced with a ``noop``-format write (full execution, no
+driver collect skew). Prints ONE JSON line:
+
+  {"metric": "total_bench_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "image_suite": {...rows/sec details...}}
+
+The synthetic input is materialized to parquet once (under
+$SPARK_GRAFT_BENCH_DIR, default /tmp/adspark_bench) and reused, so suite
+timings measure validation, not generation; the same materialized input
+is reused by scripts/scaling_bench.py for the N-vs-4N-cores scaling
+evidence in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_IMAGE_ROWS = int(os.environ.get("SPARK_GRAFT_IMAGE_ROWS", "2000000"))
+BENCH_PAYLOAD_ROWS = int(os.environ.get("SPARK_GRAFT_PAYLOAD_ROWS", "60000"))
+BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/adspark_bench")
+
+
+def ensure_image_tables(spark) -> tuple[str, str]:
+    """Materialize (once) the metadata-only and with-payload image tables."""
+    from anomalydetection_spark.synth import generate_distributed
+
+    meta_path = f"{BENCH_DIR}/images_meta_{BENCH_IMAGE_ROWS}"
+    pay_path = f"{BENCH_DIR}/images_payload_{BENCH_PAYLOAD_ROWS}"
+    for path, n, payload in (
+        (meta_path, BENCH_IMAGE_ROWS, False),
+        (pay_path, BENCH_PAYLOAD_ROWS, True),
+    ):
+        if not os.path.exists(f"{path}/_SUCCESS"):
+            generate_distributed(spark, n, with_payload=payload, partitions=64) \
+                .write.mode("overwrite").parquet(path)
+    return meta_path, pay_path
+
+
+def time_image_suite(spark, path: str, with_decode: bool) -> dict:
+    from anomalydetection_spark.plans.image_suite import run_image_validation
+
+    images = spark.read.parquet(path)
+    n = images.count()  # warm FS cache / commit scan stats before timing
+    t0 = time.perf_counter()
+    res = run_image_validation(spark, images, with_decode=with_decode)
+    res.verdicts.write.format("noop").mode("overwrite").save()
+    sec = time.perf_counter() - t0
+    return {"rows": n, "sec": round(sec, 3), "rows_per_sec": round(n / sec, 1)}
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from anomalydetection_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("adspark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    meta_path, pay_path = ensure_image_tables(spark)
+    suite_meta = time_image_suite(spark, meta_path, with_decode=False)
+    suite_decode = time_image_suite(spark, pay_path, with_decode=True)
+
+    per_query: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(
+        suite_meta["sec"] + suite_decode["sec"] + sum(per_query.values()), 3
+    )
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    print(json.dumps({
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "image_suite": {
+            "metadata_only": suite_meta,
+            "with_decode_psnr": suite_decode,
+            "cpus": os.environ["SPARK_GRAFT_CPUS"],
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Resumable checkpoint ledger (north_rule: resumable from checkpoint with
+per-partition lineage + metrics rows)."""
+
+import json
+import os
+
+import pytest
+
+from anomalydetection_spark.checkpoint import CheckpointedRunner, input_fingerprint
+from anomalydetection_spark.checks import (
+    ColumnStatsCheck,
+    InSetCheck,
+    NotNullCheck,
+    UniquenessCheck,
+)
+from anomalydetection_spark.suite import ValidationSuite
+from anomalydetection_spark.synth import generate_pandas, to_spark
+
+
+@pytest.fixture(scope="module")
+def image_table(spark, tmp_path_factory):
+    pdf, _man = generate_pandas(2000, with_payload=False)
+    path = str(tmp_path_factory.mktemp("ckpt") / "images")
+    to_spark(spark, pdf).repartition(8).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _suite():
+    return ValidationSuite(
+        checks=[
+            ColumnStatsCheck("w", constraints={"null_rate": (None, 0.0)}),
+            NotNullCheck("caption", max_null_rate=0.05, keys=["image_id"]),
+            InSetCheck("fmt", ["jpeg", "png", "webp"], max_violation_rate=0.01,
+                       keys=["image_id", "fmt"]),
+            UniquenessCheck(["image_id"], max_duplicate_rate=0.01),
+        ],
+        table_name="images",
+    )
+
+
+def test_run_commits_every_unit_and_resume_skips(spark, image_table, tmp_path):
+    out = str(tmp_path / "out")
+    runner = CheckpointedRunner(_suite(), out, bucket_key="image_id", n_buckets=4)
+    r1 = runner.run(spark.read.parquet(image_table), input_path=image_table)
+    assert r1.completed == 4 and r1.resumed == 0
+
+    # every unit has a ledger entry, verdicts parquet, and a lineage row
+    ledger = sorted(os.listdir(os.path.join(out, "_ledger")))
+    assert ledger == [f"bucket={i:04d}.json" for i in range(4)]
+    rec = json.load(open(os.path.join(out, "_ledger", ledger[0])))
+    assert rec["rows"] > 0 and rec["snapshot"].startswith("parquet:")
+
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    assert lineage.count() == 4
+    assert sum(r["rows"] for r in lineage.collect()) == 2000  # buckets partition the table
+
+    # resume: all units skipped, nothing recomputed, no duplicate lineage
+    r2 = CheckpointedRunner(_suite(), out, bucket_key="image_id", n_buckets=4).run(
+        spark.read.parquet(image_table), input_path=image_table
+    )
+    assert r2.resumed == 4 and r2.completed == 0
+    assert spark.read.parquet(os.path.join(out, "lineage")).count() == 4
+
+
+def test_partial_resume_runs_only_missing_units(spark, image_table, tmp_path):
+    out = str(tmp_path / "out")
+    runner = CheckpointedRunner(_suite(), out, bucket_key="image_id", n_buckets=4)
+    df = spark.read.parquet(image_table)
+    r1 = runner.run(df, input_path=image_table)
+    # simulate crash after 3 of 4 units: drop one manifest
+    os.remove(os.path.join(out, "_ledger", "bucket=0002.json"))
+    r2 = CheckpointedRunner(_suite(), out, bucket_key="image_id", n_buckets=4).run(
+        df, input_path=image_table
+    )
+    assert r2.resumed == 3 and r2.completed == 1
+    assert [u.unit for u in r2.units if not u.skipped] == ["bucket=0002"]
+    # replayed unit's verdict partition was overwritten idempotently:
+    # totals across buckets still cover the whole table exactly once
+    rows = {u.unit: u.rows for u in r2.units}
+    assert sum(rows.values()) == 2000
+
+
+def test_snapshot_change_is_refused_then_allowed(spark, image_table, tmp_path):
+    out = str(tmp_path / "out")
+    df = spark.read.parquet(image_table)
+    CheckpointedRunner(_suite(), out, bucket_key="image_id", n_buckets=2).run(
+        df, input_path=image_table
+    )
+    with pytest.raises(RuntimeError, match="snapshot"):
+        CheckpointedRunner(_suite(), out, bucket_key="image_id", n_buckets=2).run(
+            df, snapshot="parquet:deadbeef"
+        )
+    r = CheckpointedRunner(
+        _suite(), out, bucket_key="image_id", n_buckets=2, allow_snapshot_change=True
+    ).run(df, snapshot="parquet:deadbeef")
+    assert r.completed == 2  # stale units re-ran against the new snapshot
+
+
+def test_unit_col_mode_prunes_by_partition_value(spark, image_table, tmp_path):
+    out = str(tmp_path / "out")
+    df = spark.read.parquet(image_table)
+    r = CheckpointedRunner(_suite(), out, unit_col="fmt").run(
+        df, input_path=image_table
+    )
+    units = sorted(u.unit for u in r.units)
+    assert units == sorted(
+        f"fmt={v[0]}" for v in df.select("fmt").distinct().collect()
+    )
+    assert sum(u.rows for u in r.units) == 2000
+
+
+def test_fingerprint_tracks_content(tmp_path, spark, image_table):
+    f1 = input_fingerprint(spark, image_table)
+    assert f1 == input_fingerprint(spark, image_table)  # stable
+    other = str(tmp_path / "other")
+    os.makedirs(other)
+    open(os.path.join(other, "part-0.parquet"), "wb").write(b"x")
+    assert input_fingerprint(spark, other) != f1
