@@ -36,9 +36,13 @@ class RobustZScoreCheck(Check):
     """Flag rows where |x − median| / (1.4826·MAD) > threshold.
 
     Median/MAD via ``percentile_approx`` (mergeable KLL-style sketch —
-    single pass each, no sort).  Two jobs total: one for the median, one
-    for the MAD, then violations are a pure filter expression.
+    single pass each, no sort). The median rides the suite's fused pass;
+    the MAD (needs the median) and the violation count (needs the MAD)
+    ride fused post-rounds 0 and 1 shared with every other check — this
+    check adds ZERO scans of its own to a suite run.
     """
+
+    n_post_rounds = 2
 
     def __init__(self, column: str, threshold: float = 3.5,
                  max_violation_rate: float = 0.01,
@@ -49,39 +53,67 @@ class RobustZScoreCheck(Check):
         self.keys = list(keys) if keys else [column]
         self.accuracy = accuracy
         self.name = f"robust_z:{column}"
+        self._slug = f"rz_{column}"
         self._median: float | None = None
         self._mad: float | None = None
 
+    def required_columns(self) -> list[str]:
+        return [self.column]
+
+    # fused pass: median sketch (per-partition slices get their own rows)
+    def stats_exprs(self) -> list[Column]:
+        return [
+            F.percentile_approx(self.column, 0.5, self.accuracy).alias(
+                f"{self._slug}__median"
+            )
+        ]
+
+    def verdicts(self, stats: dict[str, Any]) -> list[dict[str, Any]]:
+        med = stats.get(f"{self._slug}__median")
+        if med is not None and self._median is None:
+            self._median = float(med)  # first (global) row is the model
+        return [verdict(self.name, self.column, "median",
+                        None if med is None else float(med))]
+
+    # post round 0: MAD given median · post round 1: flag count given MAD
+    def post_exprs(self, rnd: int) -> list[Column]:
+        if rnd == 0:
+            return [
+                F.percentile_approx(
+                    F.abs(F.col(self.column) - F.lit(self._median or 0.0)),
+                    0.5, self.accuracy,
+                ).alias(f"{self._slug}__mad")
+            ]
+        return [
+            F.sum((self._z() > self.threshold).cast("long")).alias(f"{self._slug}__bad"),
+            F.count(self.column).alias(f"{self._slug}__n"),
+        ]
+
+    def post_verdicts(self, rnd: int, stats: dict[str, Any]) -> list[dict[str, Any]]:
+        if rnd == 0:
+            mad = stats.get(f"{self._slug}__mad")
+            self._mad = None if mad is None else float(mad)
+            return [verdict(self.name, self.column, "mad", self._mad)]
+        bad = stats.get(f"{self._slug}__bad") or 0
+        n = stats.get(f"{self._slug}__n") or 0
+        rate = (bad / n) if n else 0.0
+        return [
+            verdict(self.name, self.column, "outlier_rate", rate, None, self.max_violation_rate)
+        ]
+
     def _fit(self, df: DataFrame) -> None:
-        med = df.agg(
-            F.percentile_approx(self.column, 0.5, self.accuracy).alias("m")
-        ).first()["m"]
-        mad = df.agg(
-            F.percentile_approx(
-                F.abs(F.col(self.column) - F.lit(float(med))), 0.5, self.accuracy
-            ).alias("m")
-        ).first()["m"]
-        self._median, self._mad = float(med), float(mad)
+        """Standalone fit (outside a suite run)."""
+        med = df.agg(*self.stats_exprs()).first()[f"{self._slug}__median"]
+        self._median = float(med)
+        mad = df.agg(*self.post_exprs(0)).first()[f"{self._slug}__mad"]
+        self._mad = float(mad)
 
     def _z(self) -> Column:
         scale = 1.4826 * (self._mad if self._mad else 1e-12)
         return F.abs(F.col(self.column) - F.lit(self._median)) / F.lit(scale)
 
-    def run_extra(self, df: DataFrame) -> list[dict[str, Any]]:
-        self._fit(df)
-        n_bad, n = df.select(
-            F.sum((self._z() > self.threshold).cast("long")).alias("bad"),
-            F.count(self.column).alias("n"),
-        ).first()
-        rate = (n_bad or 0) / n if n else 0.0
-        return [
-            verdict(self.name, self.column, "median", self._median),
-            verdict(self.name, self.column, "mad", self._mad),
-            verdict(self.name, self.column, "outlier_rate", rate, None, self.max_violation_rate),
-        ]
-
     def violations(self, df: DataFrame) -> DataFrame | None:
-        if self._median is None:
+        if self._median is None or self._mad is None:
             self._fit(df)
         return (
             df.filter(self._z() > self.threshold)
@@ -178,15 +210,27 @@ class MahalanobisCheck(Check):
         self._solve(stats)
         return [verdict(self.name, ",".join(self.cols), "chi2_cutoff", self.cutoff)]
 
-    def run_extra(self, df: DataFrame) -> list[dict[str, Any]]:
+    # post round 0: flag count via the shared fused post-agg (model was
+    # solved from the fused-pass moments — this check adds zero scans)
+    n_post_rounds = 1
+
+    def required_columns(self) -> list[str]:
+        return list(self.cols)
+
+    def post_exprs(self, rnd: int) -> list[Column]:
         if self._mu is None:
-            stats = df.agg(*self.stats_exprs()).first().asDict()
-            self._solve(stats)
-        n_bad, n = df.select(
-            F.sum((self.md2_expr() > self.cutoff).cast("long")).alias("bad"),
-            F.count(F.lit(1)).alias("n"),
-        ).first()
-        rate = (n_bad or 0) / n if n else 0.0
+            return []
+        return [
+            F.sum((self.md2_expr() > self.cutoff).cast("long")).alias(f"{self._slug}__bad"),
+            F.count(F.lit(1)).alias(f"{self._slug}__nn"),
+        ]
+
+    def post_verdicts(self, rnd: int, stats: dict[str, Any]) -> list[dict[str, Any]]:
+        if self._mu is None:
+            return []
+        bad = stats.get(f"{self._slug}__bad") or 0
+        n = stats.get(f"{self._slug}__nn") or 0
+        rate = (bad / n) if n else 0.0
         return [
             verdict(
                 self.name, ",".join(self.cols), "outlier_rate",

@@ -71,22 +71,52 @@ class Check(abc.ABC):
 
     name: str
 
+    #: number of fused post-aggregation rounds this check participates in
+    #: (round r can use anything learned from the fused pass + rounds < r;
+    #: e.g. robust-z needs round 0 for MAD-given-median and round 1 for the
+    #: violation count given MAD). The suite runs ONE agg per round shared
+    #: by every check, so total scan count is O(max rounds), not O(checks).
+    n_post_rounds: int = 0
+
+    #: True → this check's jobs run on the ORIGINAL DataFrame, and its
+    #: columns are excluded from the suite's cached narrow projection
+    #: (decode checks: caching/shuffling the bytes column is the #1 scale
+    #: killer; their stage must stay map-only over the raw scan).
+    use_original: bool = False
+
+    def required_columns(self) -> list[str] | None:
+        """Columns this check's stats/post/extra jobs read. The suite
+        persists only the union of these (column pruning survives the
+        cache). ``None`` = unknown → the suite disables pruning."""
+        return None
+
     def stats_exprs(self) -> list[Column]:
-        """Aggregate expressions to fold into the suite's fused pass."""
+        """Aggregate expressions to fold into the suite's ONE fused pass."""
         return []
 
     def verdicts(self, stats: dict[str, Any]) -> list[dict[str, Any]]:
         """Evaluate constraint(s) against the collected stats row."""
         return []
 
+    def post_exprs(self, rnd: int) -> list[Column]:
+        """Aggregate expressions for fused post-round ``rnd`` (global
+        slice; models fitted from the fused pass are available)."""
+        return []
+
+    def post_verdicts(self, rnd: int, stats: dict[str, Any]) -> list[dict[str, Any]]:
+        """Evaluate post-round ``rnd`` results."""
+        return []
+
     def violations(self, df: DataFrame) -> DataFrame | None:
         """Lazy DataFrame of violating rows (key columns only), or None."""
         return None
 
-    def run_extra(self, df: DataFrame) -> list[dict[str, Any]]:
-        """Verdicts that need their own Spark job (grouped/join checks).
+    def run_extra(self, df: DataFrame, stats: dict[str, Any] | None = None) -> list[dict[str, Any]]:
+        """Verdicts that genuinely need their own Spark job shape
+        (grouped uniqueness, anti-join referential, drift histograms).
 
-        Called once per suite run with the (global) input; checks that
+        Called once per suite run; ``stats`` is the collected global fused
+        row so checks can reuse counts without re-scanning. Checks that
         support per-partition verdicts do their own groupBy internally so
         the job count stays O(1) per check, not O(partitions).
         """

@@ -113,7 +113,10 @@ class DriftCheck(Check):
         self.max_ks = max_ks
         self.name = f"drift:{column}"
 
-    def run_extra(self, df: DataFrame) -> list[dict[str, Any]]:
+    def required_columns(self) -> list[str]:
+        return [self.column, *self.group_cols]
+
+    def run_extra(self, df: DataFrame, stats: dict[str, Any] | None = None) -> list[dict[str, Any]]:
         hist = histogram(df, self.column, self.lo, self.hi, self.nbins, self.group_cols)
         rows = hist.collect()
         by_group: dict[tuple, dict[int, int]] = {}

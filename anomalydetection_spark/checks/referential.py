@@ -15,7 +15,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from anomalydetection_spark.checks.base import Check, VIOLATION_KEY_COL, verdict
 
@@ -41,6 +41,10 @@ class ReferentialCheck(Check):
         self.max_violation_rate = max_violation_rate
         self.keys = list(keys) if keys else [fk]
         self.name = f"referential:{fk}"
+        self._slug = f"ref_{fk}"
+
+    def required_columns(self) -> list[str]:
+        return [self.fk]
 
     def _orphans(self, df: DataFrame) -> DataFrame:
         if isinstance(self.dim, DataFrame):
@@ -50,7 +54,31 @@ class ReferentialCheck(Check):
             ~F.coalesce(F.col(self.fk).isin(list(self.dim)), F.lit(False))
         )
 
-    def run_extra(self, df: DataFrame) -> list[dict[str, Any]]:
+    # constant-list dimension → pure scan-side predicate: the orphan count
+    # folds into the fused pass (per-partition verdicts come for free)
+    def stats_exprs(self) -> list[Column]:
+        if isinstance(self.dim, DataFrame):
+            return []
+        bad = ~F.coalesce(F.col(self.fk).isin(list(self.dim)), F.lit(False))
+        return [
+            F.sum(bad.cast("long")).alias(f"{self._slug}__orphans"),
+            F.count(F.lit(1)).alias(f"{self._slug}__rows"),
+        ]
+
+    def verdicts(self, stats: dict[str, Any]) -> list[dict[str, Any]]:
+        if isinstance(self.dim, DataFrame):
+            return []
+        orphans = stats.get(f"{self._slug}__orphans") or 0
+        total = stats.get(f"{self._slug}__rows") or 0
+        rate = (orphans / total) if total else 0.0
+        return [
+            verdict(self.name, self.fk, "orphan_rate", rate, None, self.max_violation_rate),
+            verdict(self.name, self.fk, "orphan_count", float(orphans)),
+        ]
+
+    def run_extra(self, df: DataFrame, stats: dict[str, Any] | None = None) -> list[dict[str, Any]]:
+        if not isinstance(self.dim, DataFrame):
+            return []  # folded into the fused pass
         orphan_rows = self._orphans(df).count()
         total = df.count()
         rate = (orphan_rows / total) if total else 0.0

@@ -80,7 +80,10 @@ class UniquenessCheck(Check):
             )
         ]
 
-    def run_extra(self, df: DataFrame) -> list[dict[str, Any]]:
+    def required_columns(self) -> list[str]:
+        return list(self.keys)
+
+    def run_extra(self, df: DataFrame, stats: dict[str, Any] | None = None) -> list[dict[str, Any]]:
         if self.hll_only:
             return []
         dup = (
@@ -93,7 +96,8 @@ class UniquenessCheck(Check):
             )
             .first()
         )
-        total = df.count()
+        # total row count comes from the fused pass — no extra scan
+        total = (stats or {}).get(f"{self._slug}__rows") or df.count()
         rate = (dup["dup_rows"] / total) if total else 0.0
         col = ",".join(self.keys)
         return [

@@ -89,7 +89,14 @@ def decode_results(images: DataFrame) -> DataFrame:
 
 
 class DecodeCheck(Check):
-    """Decodability + pixel-invariant check over the bytes column."""
+    """Decodability + pixel-invariant check over the bytes column.
+
+    ``use_original``: the suite must NOT route this check through its
+    cached narrow projection — the bytes column stays out of the cache
+    and out of every shuffle; this check's jobs are map-only over the raw
+    scan."""
+
+    use_original = True
 
     def __init__(self, max_violation_rate: float = 0.0):
         self.max_violation_rate = max_violation_rate
@@ -101,7 +108,7 @@ class DecodeCheck(Check):
             self._results = decode_results(df)
         return self._results
 
-    def run_extra(self, df: DataFrame) -> list[dict]:
+    def run_extra(self, df: DataFrame, stats: dict | None = None) -> list[dict]:
         agg = self._res(df).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum((~F.col("decode_ok")).cast("long")).alias("bad_decode"),

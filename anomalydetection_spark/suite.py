@@ -66,22 +66,57 @@ class ValidationSuite:
         if not exprs:
             return {}, []
         if self.partition_by:
-            rows = df.groupBy(*self.partition_by).agg(*exprs).collect()
+            # ONE scan for both the per-partition slices and the global
+            # row: rollup computes every aggregate per group AND merged
+            # across groups (all our aggregates — counts, moments,
+            # percentile/HLL sketches — are merge-combinable, which is
+            # exactly what rollup's partial-merge tree exploits).
+            # grouping_id separates the grand-total row (all bits set)
+            # from real groups (0) and, for multi-column partition_by,
+            # skips the intermediate prefix levels.
+            full = (1 << len(self.partition_by)) - 1
+            rows = (
+                df.rollup(*self.partition_by)
+                .agg(*exprs, F.grouping_id(*self.partition_by).alias("__gid"))
+                .collect()
+            )
+            g: dict = {}
             per_part = []
             for r in rows:
                 d = r.asDict()
-                key = "/".join(str(d.pop(p)) for p in self.partition_by)
-                per_part.append((key, d))
-            # global slice = re-aggregate? cheap approximation: also run
-            # global agg only when explicitly partitioned AND caller wants
-            # both; here we merge additively where possible is unsafe for
-            # avg/var, so we run the global agg too (same scan is cached).
-            g = df.agg(*exprs).first().asDict()
+                gid = d.pop("__gid")
+                if gid == full:
+                    for p in self.partition_by:
+                        d.pop(p)
+                    g = d
+                elif gid == 0:
+                    key = "/".join(str(d.pop(p)) for p in self.partition_by)
+                    per_part.append((key, d))
+            per_part.sort(key=lambda kv: kv[0])
             return g, per_part
         g = df.agg(*exprs).first().asDict()
         return g, []
 
     # ------------------------------------------------------------------
+    def _stats_frame(self, df: DataFrame) -> DataFrame:
+        """Narrow projection feeding every stats/post/extra job.
+
+        Column pruning must survive the cache: persisting the raw frame
+        would materialize payload columns (``bytes``!) that only map-only
+        ``use_original`` checks touch. At 10^12 rows this is the
+        difference between caching ~50 B/row of metadata and ~100 KB/row
+        of pixels."""
+        needed: set[str] = set(self.partition_by)
+        for c in self.checks:
+            if c.use_original:
+                continue
+            rc = c.required_columns()
+            if rc is None:
+                return df  # a check with unknown column needs → no pruning
+            needed.update(rc)
+        existing = [c for c in df.columns if c in needed]
+        return df.select(*existing) if existing else df
+
     def run(
         self,
         df: DataFrame,
@@ -91,10 +126,11 @@ class ValidationSuite:
     ) -> SuiteResult:
         spark = spark or df.sparkSession
         t0 = time.time()
+        stats_df = self._stats_frame(df)
         if cache:
-            df = df.persist()
+            stats_df = stats_df.persist()
         try:
-            global_stats, per_part = self._fused_stats(df)
+            global_stats, per_part = self._fused_stats(stats_df)
 
             verdict_rows: list[dict[str, Any]] = []
             for c in self.checks:
@@ -105,7 +141,27 @@ class ValidationSuite:
                     for v in c.verdicts(stats):
                         v.update(table=self.table_name, partition=part_key)
                         verdict_rows.append(v)
-                for v in c.run_extra(df):
+
+            # fused post rounds: ONE agg per round shared by all checks
+            # (robust-z MAD → violation counts, Mahalanobis flag counts, …)
+            max_rounds = max((c.n_post_rounds for c in self.checks), default=0)
+            for rnd in range(max_rounds):
+                exprs = []
+                for c in self.checks:
+                    if c.n_post_rounds > rnd:
+                        exprs.extend(c.post_exprs(rnd))
+                if not exprs:
+                    continue
+                post_stats = stats_df.agg(*exprs).first().asDict()
+                for c in self.checks:
+                    if c.n_post_rounds > rnd:
+                        for v in c.post_verdicts(rnd, post_stats):
+                            v.update(table=self.table_name, partition="")
+                            verdict_rows.append(v)
+
+            for c in self.checks:
+                target = df if c.use_original else stats_df
+                for v in c.run_extra(target, global_stats):
                     v.update(table=self.table_name, partition="")
                     verdict_rows.append(v)
 
@@ -139,4 +195,4 @@ class ValidationSuite:
             )
         finally:
             if cache:
-                df.unpersist()
+                stats_df.unpersist()
