@@ -949,6 +949,234 @@ def o_embedding_label_stats() -> str:
 
 
 # ---------------------------------------------------------------------------
+# near-duplicate detection: MinHash-LSH, SimHash (functions/text.py)
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomalydetection_spark.functions.text import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, n=3, k=8, rows_per_band=2, min_jaccard=0.05)
+
+
+def o_dedup_minhash_lsh() -> str:
+    # identical semantics: seeded-md5 minhash (lexicographic min), 4 bands
+    # of 2, exact-jaccard verification of banded candidates
+    mh = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min') AS mh{i}"
+        for i in range(8)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, LEN(string_split(text,' ')) - 1),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+      FROM documents WHERE LEN(string_split(text,' ')) >= 3
+    ), sigs AS (
+      SELECT id, sh, {mh} FROM base
+    ), banded AS (
+      SELECT id, b.band_id,
+             CASE b.band_id WHEN 0 THEN mh0||mh1 WHEN 1 THEN mh2||mh3
+                            WHEN 2 THEN mh4||mh5 ELSE mh6||mh7 END AS band_key
+      FROM sigs, (SELECT UNNEST(range(4)) AS band_id) b
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(LEN(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / LEN(list_distinct(list_concat(sa.sh, sb.sh))), 8) AS jaccard
+    FROM cand JOIN base sa ON sa.id = cand.id_a JOIN base sb ON sb.id = cand.id_b
+    WHERE CAST(LEN(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / LEN(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.05
+    """
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomalydetection_spark.functions.text import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, max_hamming=6, scope=F.col("doc_id") < 150)
+
+
+def o_dedup_simhash() -> str:
+    # (position(...) - 1) = hex value of the digit; parity must match
+    # Spark's conv(digit, 16, 10) % 2 exactly
+    bit_sums = ", ".join(
+        f"SUM((CASE (position(substr(md5(t), {b + 1}, 1) IN '0123456789abcdef') - 1)"
+        f" % 2 WHEN 1 THEN 1 ELSE -1 END)) AS s{b}"
+        for b in range(16)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS t
+      FROM documents WHERE doc_id < 150
+    ), agg AS (
+      SELECT id, {bit_sums} FROM tok GROUP BY id
+    ), sig AS (
+      SELECT id, CAST({sig} AS BIGINT) AS simhash FROM agg
+    )
+    SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """
+
+
+# language ID (corpus-trained char-trigram profiles) + fingerprints
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomalydetection_spark.functions.text import lang_id, lang_profiles
+
+    d = _t(spark, sf_dir, "documents")
+    guesses = lang_id(d, lang_profiles(d, top_n=20))
+    return (
+        guesses.groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def o_text_lang_id() -> str:
+    return """
+    WITH tri AS (
+      SELECT doc_id, lang,
+             UNNEST(list_distinct(list_transform(range(1, length(text) - 1),
+               i -> text[i:i+2]))) AS tg
+      FROM documents
+    ), counts AS (
+      SELECT lang, tg, COUNT(*) AS n FROM tri GROUP BY 1, 2
+    ), prof AS (
+      SELECT lang, tg FROM (
+        SELECT lang, tg,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tg ASC) rk
+        FROM counts) WHERE rk <= 20
+    ), hits AS (
+      SELECT tri.doc_id AS id, tri.lang, prof.lang AS cand, COUNT(*) AS overlap
+      FROM tri JOIN prof ON tri.tg = prof.tg
+      GROUP BY 1, 2, 3
+    ), best AS (
+      SELECT id, lang, cand AS guess FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY overlap DESC, cand ASC) rk
+        FROM hits) WHERE rk = 1
+    )
+    SELECT lang, guess, COUNT(*) AS n FROM best GROUP BY 1, 2
+    """
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomalydetection_spark.functions.text import doc_fingerprints
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return doc_fingerprints(d)
+
+
+def o_doc_fingerprints() -> str:
+    return """
+    SELECT doc_id AS id,
+           UNNEST(list_sort(list_distinct(list_transform(
+             range(1, greatest(length(text) - 7, 1) + 1, 4),
+             i -> md5(text[i:i+7]))))[1:4]) AS fp
+    FROM documents WHERE doc_id < 100
+    """
+
+
+# IVF-bucketed approximate nearest neighbor (functions/similarity.py)
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomalydetection_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, centroids, lambda vid: (vid >= 10) & (vid < 20), k=3)
+
+
+def o_ann_ivf_topk() -> str:
+    return """
+    WITH flat AS (
+      SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, LEN(embedding) + 1)) AS t(i)
+    ), nrm AS (
+      SELECT vec_id, CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS norm2
+      FROM flat GROUP BY 1
+    ), cdots AS (
+      SELECT f.vec_id AS vid, c.vec_id AS cid,
+             CAST(SUM(CAST(f.v * c.v AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      FROM flat f JOIN flat c ON f.pos = c.pos AND c.vec_id < 8
+      GROUP BY 1, 2
+    ), assign AS (
+      SELECT vid AS vec_id, cid AS bucket FROM (
+        SELECT vid, cid,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY
+                 ROUND(dot / SQRT(nv.norm2 * nc.norm2), 8) DESC, cid ASC) rk
+        FROM cdots JOIN nrm nv ON nv.vec_id = cdots.vid
+                   JOIN nrm nc ON nc.vec_id = cdots.cid
+      ) WHERE rk = 1
+    ), qdots AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, qa.bucket,
+             CAST(SUM(CAST(q.v * c.v AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      FROM flat q
+      JOIN assign qa ON qa.vec_id = q.vec_id
+      JOIN flat c ON c.pos = q.pos
+      JOIN assign ca ON ca.vec_id = c.vec_id AND ca.bucket = qa.bucket
+      WHERE q.vec_id >= 10 AND q.vec_id < 20 AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT qid, cid, cosine, rk, bucket FROM (
+      SELECT qid, cid, ROUND(dot / SQRT(nq.norm2 * nc.norm2), 8) AS cosine,
+             bucket,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+               ROUND(dot / SQRT(nq.norm2 * nc.norm2), 8) DESC, cid ASC) rk
+      FROM qdots JOIN nrm nq ON nq.vec_id = qdots.qid
+                 JOIN nrm nc ON nc.vec_id = qdots.cid
+    ) WHERE rk <= 3
+    """
+
+
+# ---------------------------------------------------------------------------
+# model kernels (SURVEY.md §2.11) — genuinely non-SQL-expressible
+# (driver-side matrix inverses / per-series model fits inside grouped-map
+# pandas UDFs), so no oracle_sql entries: the driver records the weaker
+# rows-only check for these two, by design.
+
+def q_rec_analysis_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 sparse-Mahalanobis recommender over a pivoted events matrix:
+    per user, one column per event type (NULL = never did it) — the same
+    sparse wide observation matrix shape as the reference's site×indicator
+    frame (PRIME_App/server.R:1011-1023)."""
+    from anomalydetection_spark.kernels.recommender import run_rec_analysis
+
+    e = _t(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.sum("value"))
+    )
+    cols = ["click", "view", "purchase", "signup", "error"]
+    out = run_rec_analysis(wide, ["user_id"], cols, alpha=0.95, min_row_obs=3)
+    return out.select("user_id", F.round("MD", 6).alias("md_r"), "outlier_sp")
+
+
+def q_ts_band_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 forecast-band kernel over per-(user, event_type) period series
+    built from the events table (period = coarse time bucket)."""
+    from anomalydetection_spark.kernels.timeseries import run_time_series
+
+    e = _t(spark, sf_dir, "events")
+    series = (
+        e.withColumn("period", (F.col("event_id") % 24).cast("int"))
+        .groupBy("user_id", "event_type", "period")
+        .agg(F.sum("value").alias("value"))
+    )
+    return run_time_series(
+        series, ["user_id", "event_type"], "period", "value",
+        season=4, min_recent=8,
+    )
+
+
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -979,6 +1207,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_label_stats": q_embedding_label_stats,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_lang_id": q_text_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "rec_analysis_flags": q_rec_analysis_flags,
+        "ts_band_flags": q_ts_band_flags,
     }
 
 
@@ -1011,4 +1246,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": o_ngram_jaccard_pairs(),
         "ann_cosine_topk": o_ann_cosine_topk(),
         "embedding_label_stats": o_embedding_label_stats(),
+        "dedup_minhash_lsh": o_dedup_minhash_lsh(),
+        "dedup_simhash": o_dedup_simhash(),
+        "text_lang_id": o_text_lang_id(),
+        "doc_fingerprints": o_doc_fingerprints(),
+        "ann_ivf_topk": o_ann_ivf_topk(),
     }

@@ -46,7 +46,10 @@ class RobustZScoreCheck(Check):
 
     def __init__(self, column: str, threshold: float = 3.5,
                  max_violation_rate: float = 0.01,
-                 keys: Sequence[str] | None = None, accuracy: int = 10000):
+                 keys: Sequence[str] | None = None, accuracy: int = 1000):
+        # accuracy=1000 (KLL rel-err ~1e-3) measured 6x faster than 1e4 at
+        # 32 cores: sketch FINAL-merge is per-group serial, so oversized
+        # sketches become the suite's Amdahl term (32M rows: 7.9s -> 1.3s)
         self.column = column
         self.threshold = threshold
         self.max_violation_rate = max_violation_rate
@@ -186,7 +189,13 @@ class MahalanobisCheck(Check):
         try:
             sinv = np.linalg.inv(cov)
         except np.linalg.LinAlgError:
-            sinv = np.linalg.inv(cov + np.eye(k) * 1e-9 * np.trace(cov))
+            # degenerate slice (constant columns / tiny partitions): ridge
+            # by trace if any, else absolute epsilon; pinv as last resort
+            ridge = 1e-9 * np.trace(cov) or 1e-9
+            try:
+                sinv = np.linalg.inv(cov + np.eye(k) * ridge)
+            except np.linalg.LinAlgError:
+                sinv = np.linalg.pinv(cov)
         # the suite evaluates the GLOBAL stats row first, then per-partition
         # slices; keep the first (global) fit as the scoring model so
         # violations() uses table-level moments, not the last partition's

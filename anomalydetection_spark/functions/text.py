@@ -1,0 +1,211 @@
+"""Text / dedup operators for training-data pipelines.
+
+These are the document-corpus counterparts of the engine's image checks:
+exact + near-duplicate detection (MinHash-LSH, SimHash), n-gram language
+ID, rolling-hash fingerprinting, token/quality stats. All operators are
+pure DataFrame expressions (no Python UDFs) so they whole-stage-codegen
+and scale linearly; every hash is ``md5`` (hex string) so independent
+engines (the DuckDB oracle) reproduce values bit-for-bit.
+
+Scale notes (the whole point of each design):
+
+* **MinHash-LSH** — the naive near-dup join is O(n²); banding the
+  signature and joining on (band_id, band_key) only compares documents
+  that collide in ≥1 band. The band join is an equi-join Spark shuffles
+  by key — at 10^12 docs the candidate set, not the corpus square, pays.
+  Lexicographic min over md5 hex strings is a valid MinHash family
+  (random permutation ≈ uniform hash ordering).
+* **SimHash** — 16-bit signature from per-token md5 digit parity;
+  near-dups differ in ≤k bits → ``bit_count(simhash_a ^ simhash_b)``.
+  Pairing within identical-signature buckets (or few-bit rotations) is
+  again an equi-join, not a cross join.
+* **Fingerprinting** — winnowing-style: char 8-gram shingles at stride
+  4, keep the 4 lexicographically-smallest md5s per document; shared
+  fingerprints → containment/plagiarism candidates via groupBy.
+* **Language ID** — corpus-trained char-trigram profiles (top-N per
+  language) joined back to each document's trigram set; argmax overlap.
+  Two shuffles total, both on tiny (lang, trigram) keys.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+TOKS = "split(text, ' ')"
+
+
+def token_shingles(n: int = 3) -> Column:
+    """Distinct n-token shingles of ``text`` (expression; requires the
+    DataFrame to have ≥n tokens — filter first)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, size({TOKS}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({TOKS}, i, {n}))))"
+    )
+
+
+def _seeded_md5(prefix: str):
+    # MUST be a single-parameter callable: F.transform passes (element,
+    # index) to two-parameter lambdas, which would silently rebind a
+    # default-arg seed to the array-index Column
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(shingles_col: str, k: int = 8) -> list[Column]:
+    """k MinHash components: lexicographic min of seeded md5 over the
+    shingle set. Returns one Column per component."""
+    return [
+        F.array_min(
+            F.transform(F.col(shingles_col), _seeded_md5(f"{i}|"))
+        ).alias(f"mh{i}")
+        for i in range(k)
+    ]
+
+
+def lsh_bands(k: int = 8, rows_per_band: int = 2) -> Column:
+    """Stack the k signature components into (band_id, band_key) structs."""
+    n_bands = k // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(F.struct(F.lit(b).alias("band_id"), F.concat(*parts).alias("band_key")))
+    return F.array(*bands)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      n: int = 3, k: int = 8, rows_per_band: int = 2,
+                      min_jaccard: float = 0.4) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verify.
+
+    Returns (id_a, id_b, jaccard). Candidate generation is the banded
+    equi-self-join; only candidates pay the exact set intersection."""
+    base = (
+        docs.filter(F.expr(f"size({TOKS}) >= {n}"))
+        .select(F.col(id_col).alias("id"), token_shingles(n).alias("sh"))
+    )
+    sigs = base.select("id", "sh", *[c for c in minhash_signature("sh", k)])
+    banded = sigs.select(
+        "id", F.explode(lsh_bands(k, rows_per_band)).alias("band")
+    ).select("id", "band.band_id", "band.band_key")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = base.select(F.col("id"), F.col("sh"))
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                8,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+SIMHASH_BITS = 16
+_HEX = "0123456789abcdef"
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) — 16-bit SimHash: bit b is the sign of the sum over
+    tokens of ±1 by the parity of md5 hex digit b. Pure expressions; one
+    shuffle (the groupBy on id after token explode)."""
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(F.expr(TOKS)).alias("t")
+    ).withColumn("h", F.md5("t"))
+    bit_sums = [
+        F.sum(
+            (F.conv(F.substring("h", b + 1, 1), 16, 10).cast("int") % 2 * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       max_hamming: int = 3, scope: Column | None = None) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with bit_count(xor) ≤ max_hamming.
+
+    The pair join here is scoped (caller bounds it); the scale path
+    buckets by signature bytes first (each ≤k-bit-different pair shares
+    ≥1 exact byte — pigeonhole) so the join stays equi."""
+    s = simhash(docs if scope is None else docs.filter(scope), id_col)
+    a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def char_trigrams() -> Column:
+    return F.expr(
+        "array_distinct(transform(sequence(1, length(text) - 2),"
+        " i -> substring(text, i, 3)))"
+    )
+
+
+def lang_profiles(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """(lang, trigram) — top-N most frequent char trigrams per labeled
+    language (ties broken lexicographically for determinism)."""
+    tri = docs.select("lang", F.explode(char_trigrams()).alias("tg"))
+    counts = tri.groupBy("lang", "tg").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tg"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select("lang", "tg")
+    )
+
+
+def lang_id(docs: DataFrame, profiles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, lang, guess, overlap) — guess = language whose trigram profile
+    overlaps the document's trigram set most (argmax; ties → lang asc)."""
+    doc_tri = docs.select(
+        F.col(id_col).alias("id"), F.col("lang"), F.explode(char_trigrams()).alias("tg")
+    )
+    hits = (
+        doc_tri.join(profiles.select(F.col("lang").alias("cand"), "tg"), "tg")
+        .groupBy("id", "lang", "cand")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("overlap"), F.asc("cand"))
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("id", "lang", F.col("cand").alias("guess"), "overlap")
+    )
+
+
+def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                     gram: int = 8, stride: int = 4, keep: int = 4) -> DataFrame:
+    """(id, fp) winnowing-style fingerprints: md5 of char ``gram``-grams
+    sampled every ``stride`` chars, keeping the ``keep`` smallest hashes.
+    Shared fp values across documents = containment candidates."""
+    fps = F.expr(
+        f"slice(array_sort(array_distinct(transform("
+        f"sequence(1, greatest(length(text) - {gram - 1}, 1), {stride}),"
+        f" i -> md5(substring(text, i, {gram}))))), 1, {keep})"
+    )
+    return docs.select(F.col(id_col).alias("id"), F.explode(fps).alias("fp"))

@@ -122,8 +122,13 @@ class ValidationSuite:
         df: DataFrame,
         spark: SparkSession | None = None,
         with_violations: bool = True,
-        cache: bool = True,
+        cache: bool = False,
     ) -> SuiteResult:
+        # cache=False default: the fused design already keeps the suite to
+        # ~4 narrow scans + 1 shuffle, and re-scanning a pruned parquet/
+        # Iceberg projection (vectorized, pushed-down) is usually cheaper
+        # than materializing a columnar cache — and at 10^12 rows caching
+        # is not an option at all. Opt in for small-but-remote inputs.
         spark = spark or df.sparkSession
         t0 = time.time()
         stats_df = self._stats_frame(df)

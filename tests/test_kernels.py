@@ -1,0 +1,166 @@
+"""Reference-math golden tests for the K1 (sparse Mahalanobis recommender)
+and K2 (forecast-band) kernels — formulas recomputed independently in the
+test, reproducing PRIME_App/utils.R semantics (SURVEY.md §5.2)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from anomalydetection_spark.functions.stats_math import chi2_ppf
+from anomalydetection_spark.kernels.recommender import run_rec_analysis, sparse_moments
+from anomalydetection_spark.kernels.timeseries import model_agreement, run_time_series
+
+
+def _ref_moments(X: np.ndarray):
+    """Independent R-semantics moments: sparse means, pairwise-complete
+    centered cross products normalized by sqrt(N_i*N_j)."""
+    k = X.shape[1]
+    mu = np.nanmean(X, axis=0)
+    S = np.zeros((k, k))
+    N = np.zeros((k, k))
+    for i in range(k):
+        for j in range(k):
+            both = ~np.isnan(X[:, i]) & ~np.isnan(X[:, j])
+            N[i, j] = both.sum()
+            S[i, j] = np.sum((X[both, i] - mu[i]) * (X[both, j] - mu[j]))
+    Ni = np.array([(~np.isnan(X[:, i])).sum() for i in range(k)])
+    R = S / np.sqrt(np.outer(Ni, Ni))
+    return mu, R
+
+
+@pytest.fixture(scope="module")
+def rec_data():
+    rng = np.random.default_rng(11)
+    n = 200
+    base = rng.normal(0, 1, n)
+    X = np.column_stack([
+        50 + 10 * base + rng.normal(0, 2, n),
+        30 + 6 * base + rng.normal(0, 1.5, n),
+        10 + 2 * base + rng.normal(0, 1, n),
+        rng.normal(100, 5, n),
+    ])
+    X[0] = [50 + 80, 30 - 40, 10, 100]     # planted gross outlier
+    X[5, 2] = np.nan                        # sparse row (3 of 4 observed)
+    return X
+
+
+def _to_df(spark, X):
+    pdf = pd.DataFrame(X, columns=["i1", "i2", "i3", "i4"])
+    pdf.insert(0, "site", [f"s{i}" for i in range(len(X))])
+    return spark.createDataFrame(pdf)
+
+
+def test_sparse_moments_match_reference_formula(spark, rec_data):
+    df = _to_df(spark, rec_data)
+    mu, R, _ = sparse_moments(df, ["i1", "i2", "i3", "i4"])
+    mu_ref, R_ref = _ref_moments(rec_data)
+    np.testing.assert_allclose(mu, mu_ref, rtol=1e-10)
+    np.testing.assert_allclose(R, R_ref, rtol=1e-10)
+
+
+def test_rec_analysis_flags_planted_outlier_first(spark, rec_data):
+    df = _to_df(spark, rec_data)
+    out = run_rec_analysis(df, ["site"], ["i1", "i2", "i3", "i4"],
+                           alpha=0.95, min_row_obs=3).toPandas()
+    assert out.iloc[0]["site"] == "s0"            # worst-first ordering
+    assert out.iloc[0]["outlier_sp"] == 1
+    assert out["outlier_sp"].sum() < len(out) * 0.2
+
+
+def test_mdmiss_semantics_and_df_quirk(spark, rec_data):
+    X = rec_data
+    df = _to_df(spark, X)
+    cols = ["i1", "i2", "i3", "i4"]
+    out = run_rec_analysis(df, ["site"], cols, alpha=0.95,
+                           min_row_obs=3).toPandas().set_index("site")
+    mu_ref, R_ref = _ref_moments(X)
+    Rinv = np.linalg.inv(R_ref)
+    # dense row MD: classic quadratic form, scale k/p_obs = 1
+    d = X[1] - mu_ref
+    np.testing.assert_allclose(out.loc["s1", "MD"], d @ Rinv @ d, rtol=1e-8)
+    # sparse row (i3 missing): observed-coords form scaled by 4/3
+    obs = [0, 1, 3]
+    ds = X[5, obs] - mu_ref[obs]
+    md_sparse = ds @ np.linalg.inv(R_ref[np.ix_(obs, obs)]) @ ds * (4 / 3)
+    np.testing.assert_allclose(out.loc["s5", "MD"], md_sparse, rtol=1e-8)
+    # compat df quirk: cutoff = chi2(.95, n_keys + k + 1 - 1) = chi2(.95, 5)
+    cutoff = chi2_ppf(0.95, 5)
+    flagged = out[out["MD"] > cutoff]
+    assert (out["outlier_sp"] == 1).sum() == len(flagged)
+
+
+def test_conditional_estimates_match_reference_formula(spark, rec_data):
+    X = rec_data
+    df = _to_df(spark, X)
+    cols = ["i1", "i2", "i3", "i4"]
+    out = run_rec_analysis(df, ["site"], cols, alpha=0.95,
+                           min_row_obs=3).toPandas().set_index("site")
+    mu_ref, R_ref = _ref_moments(X)
+    # E[i1 | others] for the flagged row s0: R_jy R_yy^-1 (y - mu_y) + mu_j
+    j, others = 0, [1, 2, 3]
+    w = R_ref[j, others] @ np.linalg.inv(R_ref[np.ix_(others, others)])
+    e = w @ (X[0, others] - mu_ref[others]) + mu_ref[j]
+    np.testing.assert_allclose(out.loc["s0", "E_i1"], e, rtol=1e-8)
+    d = abs(e - X[0, 0]) / R_ref[j, j]
+    np.testing.assert_allclose(out.loc["s0", "D_i1"], d, rtol=1e-8)
+    # unflagged rows got no estimates (PRIME behavior, utils.R:235)
+    assert np.isnan(out.loc["s1", "E_i1"])
+
+
+@pytest.fixture(scope="module")
+def ts_data(spark):
+    rows = []
+    # series A: clean seasonal pattern, final value = massive spike
+    for p in range(20):
+        val = 100 + 10 * (p % 4) + 0.5 * p
+        if p == 19:
+            val = 500.0
+        rows.append(("facA", "ind1", p, val))
+    # series B: same pattern, final value in-pattern
+    for p in range(20):
+        rows.append(("facB", "ind1", p, 100 + 10 * (p % 4) + 0.5 * p))
+    # series C: too sparse (only 5 of last 12 periods)
+    for p in [9, 11, 13, 15, 17]:
+        rows.append(("facC", "ind1", p, 50.0))
+    return spark.createDataFrame(
+        rows, "facility string, indicator string, period int, value double"
+    )
+
+
+def test_band_kernel_flags_spike_not_normal(spark, ts_data):
+    out = run_time_series(
+        ts_data, ["facility", "indicator"], "period", "value", season=4
+    ).toPandas()
+    a = out[out["facility"] == "facA"]
+    b = out[out["facility"] == "facB"]
+    assert len(a) == 3 and len(b) == 3          # one row per model
+    assert a["outlier"].sum() == 3               # spike outside every band
+    assert b["outlier"].sum() == 0               # in-pattern value inside bands
+    assert (a["deviation"].dropna() > 0).all()
+    assert "facC" not in set(out["facility"])    # eligibility gate
+
+
+def test_band_bounds_contain_prediction(spark, ts_data):
+    out = run_time_series(
+        ts_data, ["facility", "indicator"], "period", "value", season=4
+    ).toPandas()
+    assert (out["lo99"] <= out["pred"]).all() and (out["pred"] <= out["hi99"]).all()
+
+
+def test_model_agreement_pivot(spark, ts_data):
+    scored = run_time_series(
+        ts_data, ["facility", "indicator"], "period", "value", season=4
+    )
+    agg = model_agreement(scored, ["facility", "indicator"]).toPandas()
+    agg = agg.set_index("facility")
+    assert agg.loc["facA", "Outliers"] == 3
+    assert agg.loc["facB", "Outliers"] == 0
+
+
+def test_compat_pred_reuse_quirk(spark, ts_data):
+    out = run_time_series(
+        ts_data, ["facility", "indicator"], "period", "value", season=4,
+        compat_pred_reuse=True,
+    ).toPandas()
+    a = out[out["facility"] == "facA"].set_index("model")
+    assert a.loc["ar1", "pred"] == a.loc["snaive", "pred"]  # utils.R:535

@@ -1,0 +1,116 @@
+"""Text dedup / language-ID / fingerprint / ANN operators
+(functions/text.py, functions/similarity.py)."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from anomalydetection_spark.functions.text import (
+    doc_fingerprints,
+    lang_id,
+    lang_profiles,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_near_pairs,
+    token_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),   # near-dup of 0
+        (2, "completely different words entirely unrelated text here", "en"),
+        (3, "der schnelle braune fuchs springt ueber den faulen hund", "de"),
+        (4, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup of 0
+        (5, "le renard brun rapide saute par dessus le chien", "fr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_minhash_finds_near_and_exact_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(docs, min_jaccard=0.3).collect()}
+    assert pairs[(0, 4)] == 1.0                    # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5  # near dup
+    assert (0, 2) not in pairs                     # unrelated never verified
+
+
+def test_minhash_matches_python_reference(docs):
+    # component 0 for doc 0 equals a driver-side reference computation
+    row = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(token_shingles(3).alias("sh"))
+        .first()
+    )
+    expected = min(hashlib.md5(("0|" + s).encode()).hexdigest() for s in row["sh"])
+    from anomalydetection_spark.functions.text import minhash_signature
+
+    got = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(token_shingles(3).alias("sh"))
+        .select(*minhash_signature("sh", 1))
+        .first()["mh0"]
+    )
+    assert got == expected
+
+
+def test_simhash_identical_docs_and_pairs(docs):
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs[0] == sigs[4]                      # identical text, identical hash
+    assert 0 <= sigs[0] < (1 << 16)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_pairs(docs, max_hamming=0).collect()}
+    assert pairs[(0, 4)] == 0
+
+
+def test_lang_id_separates_languages(docs):
+    prof = lang_profiles(docs, top_n=30)
+    out = {r["id"]: r["guess"] for r in lang_id(docs, prof).collect()}
+    # en docs share trigrams with the en profile; de/fr dominate their own
+    assert out[0] == "en" and out[3] == "de" and out[5] == "fr"
+
+
+def test_fingerprints_shared_only_by_dups(docs):
+    fp = doc_fingerprints(docs)
+    shared = (
+        fp.groupBy("fp").agg(F.collect_set("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    assert shared, "exact dups must share fingerprints"
+    for r in shared:
+        # exact dups 0/4 always collide; near-dup 1 (same prefix, last
+        # word differs) may share the prefix-derived fingerprints —
+        # containment candidates are exactly what winnowing should surface
+        ids = set(r["ids"])
+        assert {0, 4} <= ids <= {0, 1, 4}
+
+
+def test_ivf_bucket_assignment_and_topk(spark):
+    import numpy as np
+
+    from anomalydetection_spark.functions.similarity import ivf_assign, ivf_topk
+
+    rng = np.random.default_rng(7)
+    # two well-separated clusters around orthogonal axes
+    rows = []
+    for vid in range(20):
+        axis = vid % 2
+        v = rng.normal(0, 0.05, 8)
+        v[axis] += 10.0
+        rows.append((vid, [float(x) for x in v], axis))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    centroids = emb.filter(F.col("vec_id") < 2)  # one per cluster
+
+    assign = {r["vec_id"]: r["bucket"] for r in ivf_assign(emb, centroids).collect()}
+    for vid, bucket in assign.items():
+        assert bucket == vid % 2  # every vector lands in its cluster's bucket
+
+    topk = ivf_topk(emb, centroids, lambda vid: vid < 4, k=3).collect()
+    assert len(topk) == 4 * 3
+    for r in topk:
+        assert r["qid"] % 2 == r["cid"] % 2  # neighbors stay in-bucket
+        assert r["cosine"] > 0.9
