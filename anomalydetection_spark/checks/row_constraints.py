@@ -38,9 +38,15 @@ class PredicateCheck(Check):
         max_violation_rate: float = 0.0,
         keys: Sequence[str] | None = None,
         columns: Sequence[str] | None = None,
+        violation: Callable[[], Column] | None = None,
     ):
         self.name = name
         self._pred = predicate
+        # positive violation form: `NOT coalesce(pred, false)` is correct
+        # but opaque to parquet/Iceberg filter pushdown; a subclass that
+        # can state the violation as pushable atoms (IsNull, <, >, ...)
+        # supplies it here so violation scans skip row groups at the source
+        self._violation = violation
         self.column = column
         self.max_violation_rate = max_violation_rate
         self.keys = list(keys) if keys else None
@@ -62,8 +68,13 @@ class PredicateCheck(Check):
         # semantics inverted: row not provably valid => flagged).
         return F.coalesce(p, F.lit(False))
 
+    def violated(self) -> Column:
+        if self._violation is not None:
+            return self._violation()
+        return ~self.predicate()
+
     def stats_exprs(self) -> list[Column]:
-        bad = (~self.predicate()).cast("long")
+        bad = self.violated().cast("long")
         return [
             F.sum(bad).alias(f"{self._slug}__violations"),
             F.count(F.lit(1)).alias(f"{self._slug}__rows"),
@@ -78,7 +89,7 @@ class PredicateCheck(Check):
         ]
 
     def violations(self, df: DataFrame) -> DataFrame | None:
-        out = df.filter(~self.predicate())
+        out = df.filter(self.violated())
         if self.keys:
             out = out.select(*self.keys)
         return out.withColumn(VIOLATION_KEY_COL, F.lit(self.name))
@@ -124,6 +135,7 @@ class NotNullCheck(PredicateCheck):
             column=column,
             max_violation_rate=max_null_rate,
             keys=keys,
+            violation=lambda: F.col(column).isNull(),  # pushes as IsNull
         )
 
 
@@ -185,10 +197,19 @@ class RangeCheck(PredicateCheck):
                 p = p & (F.col(column) <= F.lit(hi))
             return p
 
+        def violation():  # IsNull/LessThan/GreaterThan — all pushable
+            v = F.col(column).isNull()
+            if lo is not None:
+                v = v | (F.col(column) < F.lit(lo))
+            if hi is not None:
+                v = v | (F.col(column) > F.lit(hi))
+            return v
+
         super().__init__(
             name=f"range:{column}",
             predicate=pred,
             column=column,
             max_violation_rate=max_violation_rate,
             keys=keys,
+            violation=violation,
         )

@@ -1,0 +1,100 @@
+"""Physical-plan discipline: the properties that make the engine viable
+at 10^12 rows, asserted on `.explain` output so regressions are caught.
+
+- predicate pushdown + column pruning reach the parquet scan
+- small dimensions broadcast (no shuffle of the fact side)
+- the bytes column never crosses a shuffle (decode is map-only)
+- skew helpers produce the two-level plan they promise
+"""
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from anomalydetection_spark.checks import InSetCheck, RangeCheck, ReferentialCheck
+from anomalydetection_spark.functions.skew import heavy_hitters, salted_group_count
+from anomalydetection_spark.image_udfs import decode_results
+from anomalydetection_spark.synth import generate_pandas, to_spark
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def images_path(spark, tmp_path_factory):
+    pdf, _ = generate_pandas(500, with_payload=True)
+    path = str(tmp_path_factory.mktemp("plans") / "images")
+    to_spark(spark, pdf).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_violation_filter_pushes_down_to_scan(spark, images_path):
+    df = spark.read.parquet(images_path)
+    check = RangeCheck("w", 16, 2048, keys=["image_id"])
+    plan = plan_of(check.violations(df))
+    assert "PushedFilters:" in plan
+    # the range predicate reaches the parquet reader (negated form may
+    # normalize; the column must appear in pushed filters)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    assert "w" in pushed
+    # column pruning: ReadSchema carries only image_id + w, never bytes
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "bytes" not in schema and "caption" not in schema
+
+
+def test_stats_frame_prunes_scan_columns(spark, images_path):
+    from anomalydetection_spark.plans.image_suite import build_image_suite
+
+    df = spark.read.parquet(images_path)
+    suite = build_image_suite(["jpeg", "png", "webp"], with_decode=True)
+    plan = plan_of(suite._stats_frame(df).groupBy("fmt").count())
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "bytes" not in schema, "stats pass must never scan payload bytes"
+
+
+def test_referential_uses_broadcast_join(spark, images_path):
+    df = spark.read.parquet(images_path)
+    dim = spark.createDataFrame([("jpeg",), ("png",), ("webp",)], "fmt string")
+    check = ReferentialCheck("fmt", dim, keys=["image_id", "fmt"])
+    plan = plan_of(check.violations(df))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan, "fact side must not shuffle for a tiny dim"
+
+
+def test_list_dim_referential_is_pure_scan_predicate(spark, images_path):
+    df = spark.read.parquet(images_path)
+    check = InSetCheck("fmt", ["jpeg", "png", "webp"], keys=["image_id"])
+    plan = plan_of(check.violations(df))
+    assert "Join" not in plan, "constant whitelist must compile to a predicate"
+
+
+def test_decode_path_is_map_only(spark, images_path):
+    df = spark.read.parquet(images_path)
+    plan = plan_of(decode_results(df))
+    assert "Exchange" not in plan, "bytes must never cross a shuffle"
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "bytes" in schema and "phash" not in schema  # narrow projection
+
+
+def test_salted_count_matches_plain_and_has_two_levels(spark, images_path):
+    df = spark.read.parquet(images_path)
+    plain = {tuple(r)[:-1]: r["count"]
+             for r in df.groupBy("fmt").count().collect()}
+    salted = {tuple(r)[:-1]: r["count"]
+              for r in salted_group_count(df, ["fmt"], n_salt=8).collect()}
+    assert plain == salted
+    plan = plan_of(salted_group_count(df, ["fmt"], n_salt=8))
+    assert plan.count("Exchange") >= 2  # level-1 (keys+salt) and level-2 (keys)
+
+
+def test_heavy_hitters_finds_hot_phash(spark, images_path):
+    from anomalydetection_spark.synth import HOT_PHASH
+
+    df = spark.read.parquet(images_path)
+    hot = heavy_hitters(df, "phash", min_share=0.005, sample_fraction=1.0)
+    vals = {r["phash"] for r in hot.collect()}
+    assert HOT_PHASH in vals  # the planted ~1% hot key is detected
