@@ -1135,6 +1135,151 @@ def o_ann_ivf_topk() -> str:
     """
 
 
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenization (training-data token accounting):
+    per-language token totals from a JVM-side regexp_extract_all — the
+    whitespace tokenizer's companion in text_token_stats."""
+    from anomalydetection_spark.functions.text import bpe_ish_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = bpe_ish_tokens()
+    per_doc = d.select(
+        "doc_id", "lang",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("total_tokens"),
+        F.sum("n_unique_bpe").alias("total_unique"),
+        F.max("n_bpe_tokens").alias("max_tokens"),
+    )
+
+
+def o_text_bpe_tokens() -> str:
+    return r"""
+    WITH per_doc AS (
+      SELECT doc_id, lang,
+             LEN(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)) AS n_bpe_tokens,
+             LEN(list_distinct(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0))) AS n_unique_bpe
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_bpe_tokens) AS total_tokens,
+           SUM(n_unique_bpe) AS total_unique, MAX(n_bpe_tokens) AS max_tokens
+    FROM per_doc GROUP BY lang
+    """
+
+
+def q_scaffold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the reference's signature time-scaffold left join
+    (PRIME_App/utils.R:437-466): a generated calendar shell per series,
+    LEFT JOIN'd so reporting gaps surface as explicit zero/absent rows.
+    Here: per (user_id, event_type) daily series over the events month;
+    the tiny day shell broadcasts — the fact side never shuffles for it."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("value") > 9.0)
+        .withColumn("day", F.dayofmonth("ts").cast("int"))
+        .groupBy("user_id", "event_type", "day")
+        .agg(F.round(_dsum("value"), 2).alias("day_value"))
+    )
+    keys = daily.select("user_id", "event_type").distinct()
+    shell = keys.crossJoin(
+        F.broadcast(spark.range(1, 31).select(F.col("id").cast("int").alias("day")))
+    )
+    return (
+        shell.join(daily, ["user_id", "event_type", "day"], "left")
+        .select(
+            "user_id", "event_type", "day",
+            F.round(F.coalesce("day_value", F.lit(0.0)), 2).alias("day_value"),
+            F.col("day_value").isNotNull().cast("int").alias("present"),
+        )
+    )
+
+
+def o_scaffold_join() -> str:
+    return """
+    WITH daily AS (
+      SELECT user_id, event_type, CAST(EXTRACT(day FROM ts) AS INT) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 2) AS day_value
+      FROM events WHERE value > 9.0
+      GROUP BY 1, 2, 3
+    ), keys AS (
+      SELECT DISTINCT user_id, event_type FROM daily
+    ), shell AS (
+      SELECT k.user_id, k.event_type, CAST(d.day AS INT) AS day
+      FROM keys k CROSS JOIN (SELECT UNNEST(range(1, 31)) AS day) d
+    )
+    SELECT s.user_id, s.event_type, s.day,
+           ROUND(COALESCE(dl.day_value, 0.0), 2) AS day_value,
+           CAST(dl.day_value IS NOT NULL AS INT) AS present
+    FROM shell s
+    LEFT JOIN daily dl
+      ON dl.user_id = s.user_id AND dl.event_type = s.event_type AND dl.day = s.day
+    """
+
+
+def q_window_presence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — trailing-window presence gate (PRIME_App/server.R:2128-2137):
+    keep only series reporting in >= 6 of the last 12 periods (days 19-30
+    of the events month). One hash aggregation; distinct-day counting is
+    partial-aggregated map-side."""
+    e = _t(spark, sf_dir, "events")
+    day = F.dayofmonth("ts")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.countDistinct(F.when(day >= 19, day)).alias("days_present_last12"),
+            F.countDistinct(day).alias("days_present_total"),
+        )
+        .filter(F.col("days_present_last12") >= 6)
+    )
+
+
+def o_window_presence_gate() -> str:
+    return """
+    SELECT user_id, event_type,
+           COUNT(DISTINCT CASE WHEN EXTRACT(day FROM ts) >= 19
+                               THEN EXTRACT(day FROM ts) END) AS days_present_last12,
+           COUNT(DISTINCT EXTRACT(day FROM ts)) AS days_present_total
+    FROM events
+    GROUP BY 1, 2
+    HAVING days_present_last12 >= 6
+    """
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact audit path; the corpus-scale
+    SRP-LSH candidate path is functions/similarity.cosine_near_dup_lsh,
+    recall-tested against this exact set in tests/test_text_similarity.py).
+    Threshold 0.35 sits at ~p99.9 of this corpus's cosine distribution."""
+    from anomalydetection_spark.functions.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, 0.35)
+
+
+def o_dedup_embedding_cosine() -> str:
+    return """
+    WITH flat AS (
+      SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, LEN(embedding) + 1)) AS t(i)
+    ), nrm AS (
+      SELECT vec_id, CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS norm2
+      FROM flat GROUP BY 1
+    ), d AS (
+      SELECT fa.vec_id AS a, fb.vec_id AS b,
+             CAST(SUM(CAST(fa.v * fb.v AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      FROM flat fa JOIN flat fb ON fa.pos = fb.pos AND fa.vec_id < fb.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, ROUND(dot / SQRT(na.norm2 * nb.norm2), 8) AS cosine
+    FROM d JOIN nrm na ON na.vec_id = d.a
+           JOIN nrm nb ON nb.vec_id = d.b
+    WHERE ROUND(dot / SQRT(na.norm2 * nb.norm2), 8) >= 0.35
+    """
+
+
 # ---------------------------------------------------------------------------
 # model kernels (SURVEY.md §2.11) — genuinely non-SQL-expressible
 # (driver-side matrix inverses / per-series model fits inside grouped-map
@@ -1212,6 +1357,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "scaffold_join": q_scaffold_join,
+        "window_presence_gate": q_window_presence_gate,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "rec_analysis_flags": q_rec_analysis_flags,
         "ts_band_flags": q_ts_band_flags,
     }
@@ -1251,4 +1400,8 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": o_text_lang_id(),
         "doc_fingerprints": o_doc_fingerprints(),
         "ann_ivf_topk": o_ann_ivf_topk(),
+        "text_bpe_tokens": o_text_bpe_tokens(),
+        "scaffold_join": o_scaffold_join(),
+        "window_presence_gate": o_window_presence_gate(),
+        "dedup_embedding_cosine": o_dedup_embedding_cosine(),
     }

@@ -67,6 +67,106 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """Exact all-pairs embedding near-dup: (a, b, cosine) with a < b and
+    cosine >= threshold.
+
+    This is the audit/oracle path — O(n²·d), correct by construction; run
+    it on rerank sets or per-bucket candidates, never the raw corpus. The
+    corpus-scale path is :func:`cosine_near_dup_lsh`, which feeds ONLY its
+    LSH candidate pairs through the same exact verifier, so its output is
+    a subset of this one (precision 1.0 by construction)."""
+    a = _flat(emb, "a", "av")
+    b = _flat(emb, "b", "bv")
+    pairs = a.join(b, "pos").filter(F.col("a") < F.col("b"))
+    dots = _dot(pairs, ["a", "b"], "av", "bv", "dot")
+    n = norms(emb)
+    na = n.select(F.col("vec_id").alias("a"), F.col("norm2").alias("na"))
+    nb = n.select(F.col("vec_id").alias("b"), F.col("norm2").alias("nb"))
+    return (
+        dots.join(na, "a").join(nb, "b")
+        .withColumn("cosine", F.round(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 8))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("a", "b", "cosine")
+    )
+
+
+def hyperplanes(spark, dim: int, bits: int, seed: str = "rp") -> DataFrame:
+    """(bit, pos, h): deterministic pseudo-random hyperplane entries in
+    [-1, 1], derived from md5 so any engine reproduces them. Tiny
+    (bits × dim rows) — always broadcast."""
+    return (
+        spark.range(bits).select(F.col("id").alias("bit"))
+        .crossJoin(spark.range(dim).select(F.col("id").alias("pos")))
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(seed), "bit", "pos")), 1, 8), 16, 10)
+            .cast("double") / F.lit(float(16**8 - 1)) * 2 - 1,
+        )
+    )
+
+
+def rp_band_signatures(emb: DataFrame, planes: DataFrame,
+                       rows_per_band: int = 2) -> DataFrame:
+    """(vec_id, band, sig): banded random-hyperplane (SRP) signatures.
+
+    sign(v·h_bit) per bit; bits grouped into bands of ``rows_per_band``
+    and concatenated into a band signature string. Collision probability
+    per bit is 1 − θ/π (θ = angle), so banding tunes recall exactly like
+    MinHash LSH. One narrow shuffle of (vec_id, bit) partial sums — the
+    embedding column itself never re-shuffles."""
+    f = _flat(emb, "vec_id", "v")
+    proj = (
+        f.join(F.broadcast(planes), "pos")
+        .groupBy("vec_id", "bit")
+        .agg(
+            F.sum((F.col("v").cast("double") * F.col("h")).cast("decimal(28,12)"))
+            .cast("double").alias("proj")
+        )
+        .withColumn("s", F.when(F.col("proj") > 0, F.lit("1")).otherwise(F.lit("0")))
+        .withColumn("band", (F.col("bit") / F.lit(rows_per_band)).cast("long"))
+    )
+    bits_in_band = F.sort_array(F.collect_list(F.struct("bit", "s")))
+    return proj.groupBy("vec_id", "band").agg(
+        F.array_join(F.transform(bits_in_band, lambda x: x["s"]), "").alias("sig")
+    )
+
+
+def cosine_near_dup_lsh(emb: DataFrame, spark, threshold: float,
+                        bits: int = 16, rows_per_band: int = 2,
+                        seed: str = "rp") -> DataFrame:
+    """Corpus-scale embedding near-dup: SRP-LSH candidate generation +
+    exact cosine verification. Returns (a, b, cosine), a < b, cosine >=
+    threshold, candidates only — recall < 1 is possible and tunable via
+    (bits, rows_per_band); every emitted pair is exact (precision 1.0).
+
+    Scale shape: the corpus is shuffled once by (band, sig) — a key whose
+    cardinality grows with n, so AQE splits hot buckets; candidate pairs
+    (the quadratic term) exist only within a bucket."""
+    dim = emb.select(F.max(F.size("embedding"))).first()[0]
+    sigs = rp_band_signatures(emb, hyperplanes(spark, dim, bits, seed), rows_per_band)
+    left = sigs.select(F.col("vec_id").alias("a"), "band", "sig")
+    right = sigs.select(F.col("vec_id").alias("b"), "band", "sig")
+    cand = (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+    af = _flat(emb, "a", "av")
+    bf = _flat(emb, "b", "bv")
+    pairs = cand.join(af, "a").join(bf, ["b", "pos"])
+    dots = _dot(pairs, ["a", "b"], "av", "bv", "dot")
+    n = norms(emb)
+    na = n.select(F.col("vec_id").alias("a"), F.col("norm2").alias("na"))
+    nb = n.select(F.col("vec_id").alias("b"), F.col("norm2").alias("nb"))
+    return (
+        dots.join(na, "a").join(nb, "b")
+        .withColumn("cosine", F.round(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 8))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("a", "b", "cosine")
+    )
+
+
 def ivf_topk(emb: DataFrame, centroids: DataFrame, query_pred,
              k: int = 5) -> DataFrame:
     """Top-k cosine neighbors per query, searched ONLY within the query's

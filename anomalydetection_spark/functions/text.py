@@ -35,6 +35,18 @@ from pyspark.sql import Column, DataFrame, Window
 TOKS = "split(text, ' ')"
 
 
+# BPE-ish pre-tokenizer: word pieces with their leading space attached
+# (the GPT-2 pre-split shape), runs of digits, runs of punctuation. The
+# alternation uses only constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB), so both engines produce the same token lists.
+BPE_ISH_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_ish_tokens() -> Column:
+    """Array of BPE-ish pre-tokens of ``text`` (JVM-side regex, no UDF)."""
+    return F.expr(f"regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)")
+
+
 def token_shingles(n: int = 3) -> Column:
     """Distinct n-token shingles of ``text`` (expression; requires the
     DataFrame to have ≥n tokens — filter first)."""

@@ -140,3 +140,48 @@ def test_repartition_invariance(spark, images_df):
     numb = pb["value"].astype(float).fillna(-1).to_numpy()
     assert np.allclose(num, numb, rtol=1e-9, atol=1e-12)
     assert list(pa["passed"]) == list(pb["passed"])
+
+
+def test_image_features_match_direct_numpy(spark):
+    from anomalydetection_spark.functions.image_ops import _features_of, image_features
+    from anomalydetection_spark.functions.png import decode_image
+    from anomalydetection_spark.synth import generate_pandas, to_spark
+
+    pdf, _ = generate_pandas(40, with_payload=True)
+    df = to_spark(spark, pdf)
+    rows = image_features(df).collect()
+    assert len(rows) == 40  # synth plants dup image_ids — count rows, not keys
+    got = {r["image_id"]: r for r in rows}
+    checked = 0
+    dup_ids = set(pdf["image_id"][pdf["image_id"].duplicated(keep=False)])
+    for _, row in pdf.iterrows():
+        if row["image_id"] in dup_ids:
+            continue  # planted dup ids carry different payloads per row
+        r = got[row["image_id"]]
+        if not r["decode_ok"]:
+            continue  # synth plants corrupt payloads on purpose
+        exp = _features_of(decode_image(bytes(row["bytes"]), row["fmt"]))
+        for k, v in exp.items():
+            assert abs(r[k] - v) < 1e-9, (row["image_id"], k)
+        checked += 1
+    assert checked >= 30
+
+
+def test_resize_images_nearest_neighbor_roundtrip(spark):
+    from anomalydetection_spark.functions.image_ops import nn_resize, resize_images
+    from anomalydetection_spark.functions.png import decode_image, decode_png
+    from anomalydetection_spark.synth import generate_pandas, to_spark
+
+    pdf, _ = generate_pandas(20, with_payload=True)
+    df = to_spark(spark, pdf)
+    out = {r["image_id"]: r for r in resize_images(df, 16, 12).collect()}
+    assert out, "some rows must survive"
+    for r in out.values():
+        assert (r["w"], r["h"], r["fmt"]) == (16, 12, "png")
+        px = decode_png(bytes(r["bytes"]))
+        assert px.shape == (12, 16, 3)
+    # exact nearest-neighbor semantics vs a driver-side resample
+    row = pdf[pdf["image_id"].isin(list(out))].iloc[0]
+    ref = nn_resize(decode_image(bytes(row["bytes"]), row["fmt"]), 16, 12)
+    got = decode_png(bytes(out[row["image_id"]]["bytes"]))
+    assert (ref == got).all()

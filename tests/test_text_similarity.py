@@ -114,3 +114,21 @@ def test_ivf_bucket_assignment_and_topk(spark):
     for r in topk:
         assert r["qid"] % 2 == r["cid"] % 2  # neighbors stay in-bucket
         assert r["cosine"] > 0.9
+
+
+def test_cosine_near_dup_lsh_recall_and_precision(spark):
+    from anomalydetection_spark.functions.similarity import (
+        cosine_near_dup_lsh,
+        cosine_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["a"], r["b"]) for r in cosine_near_dup_pairs(emb, 0.35).collect()}
+    lsh_rows = cosine_near_dup_lsh(emb, spark, 0.35, bits=16, rows_per_band=2).collect()
+    lsh = {(r["a"], r["b"]) for r in lsh_rows}
+    assert exact, "threshold must catch some pairs on this corpus"
+    # every LSH-emitted pair went through the exact verifier => subset
+    assert lsh <= exact
+    # SRP with 8 bands x 2 bits at cos>=0.35: per-band collision
+    # p = (1 - theta/pi)^2 >= 0.377 => expected recall ~0.98
+    assert len(lsh) / len(exact) >= 0.85
