@@ -856,31 +856,31 @@ def o_ngram_jaccard_pairs() -> str:
 # similarity search over embeddings: brute-force cosine top-k
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (tiny) query set against the
+    corpus, score with the deterministic per-row float fold (bit-identical
+    to DuckDB list_dot_product — see functions/similarity._fold_dot), then
+    a per-query top-k window. No explode, no element shuffle."""
+    from anomalydetection_spark.functions.similarity import _fold_dot
+
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.posexplode("embedding").alias("pos", "qv")
-    )
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("eq")
+    ).withColumn("nq2", _fold_dot(F.col("eq"), F.col("eq")))
     c = emb.select(
         F.col("vec_id").alias("cid"), F.col("label").alias("clabel"),
-        F.posexplode("embedding").alias("pos", "cv"),
+        F.col("embedding").alias("ec"),
+    ).withColumn("nc2", _fold_dot(F.col("ec"), F.col("ec")))
+    cos = F.round(
+        _fold_dot(F.col("eq"), F.col("ec")) / F.sqrt(F.col("nq2") * F.col("nc2")), 8
     )
-    dots = (
-        q.join(c, "pos")
-        .groupBy("qid", "cid", "clabel")
-        .agg(
-            F.sum((F.col("qv").cast("double") * F.col("cv").cast("double")).cast("decimal(28,12)"))
-            .cast("double").alias("dot"),
-            F.sum((F.col("qv").cast("double") * F.col("qv").cast("double")).cast("decimal(28,12)"))
-            .cast("double").alias("qq"),
-            F.sum((F.col("cv").cast("double") * F.col("cv").cast("double")).cast("decimal(28,12)"))
-            .cast("double").alias("cc"),
-        )
+    scored = (
+        c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cosine", F.round(F.col("dot") / F.sqrt(F.col("qq") * F.col("cc")), 8))
+        .select("qid", "cid", "clabel", cos.alias("cosine"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
-        dots.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("qid", "cid", "clabel", "cosine", "rk")
     )
@@ -888,24 +888,20 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def o_ann_cosine_topk() -> str:
     return """
-    WITH q AS (
-      SELECT vec_id AS qid, i AS pos, CAST(embedding[i] AS DOUBLE) AS qv
-      FROM embeddings, UNNEST(range(1, LEN(embedding) + 1)) AS t(i)
-      WHERE vec_id < 10
-    ), c AS (
-      SELECT vec_id AS cid, label AS clabel, i AS pos, CAST(embedding[i] AS DOUBLE) AS cv
-      FROM embeddings, UNNEST(range(1, LEN(embedding) + 1)) AS t(i)
-    ), d AS (
-      SELECT qid, cid, clabel,
-        CAST(SUM(CAST(qv * cv AS DECIMAL(28,12))) AS DOUBLE) AS dot,
-        CAST(SUM(CAST(qv * qv AS DECIMAL(28,12))) AS DOUBLE) AS qq,
-        CAST(SUM(CAST(cv * cv AS DECIMAL(28,12))) AS DOUBLE) AS cc
-      FROM q JOIN c USING (pos)
-      GROUP BY qid, cid, clabel
+    WITH d AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS clabel,
+             ROUND(
+               list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / SQRT(
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                 * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               ), 8) AS cosine
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
     ), r AS (
-      SELECT qid, cid, clabel, ROUND(dot / SQRT(qq * cc), 8) AS cosine,
-        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(dot / SQRT(qq * cc), 8) DESC, cid ASC) AS rk
-      FROM d WHERE qid <> cid
+      SELECT qid, cid, clabel, cosine,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rk
+      FROM d
     )
     SELECT qid, cid, clabel, cosine, rk FROM r WHERE rk <= 5
     """
@@ -1095,42 +1091,39 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def o_ann_ivf_topk() -> str:
     return """
-    WITH flat AS (
-      SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
-      FROM embeddings, UNNEST(range(1, LEN(embedding) + 1)) AS t(i)
-    ), nrm AS (
-      SELECT vec_id, CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS norm2
-      FROM flat GROUP BY 1
-    ), cdots AS (
-      SELECT f.vec_id AS vid, c.vec_id AS cid,
-             CAST(SUM(CAST(f.v * c.v AS DECIMAL(28,12))) AS DOUBLE) AS dot
-      FROM flat f JOIN flat c ON f.pos = c.pos AND c.vec_id < 8
-      GROUP BY 1, 2
+    WITH cdots AS (
+      SELECT v.vec_id AS vid, c.vec_id AS cid,
+             ROUND(
+               list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / SQRT(
+                   list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))
+                 * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               ), 8) AS cos
+      FROM embeddings v JOIN embeddings c ON c.vec_id < 8
     ), assign AS (
       SELECT vid AS vec_id, cid AS bucket FROM (
         SELECT vid, cid,
-               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY
-                 ROUND(dot / SQRT(nv.norm2 * nc.norm2), 8) DESC, cid ASC) rk
-        FROM cdots JOIN nrm nv ON nv.vec_id = cdots.vid
-                   JOIN nrm nc ON nc.vec_id = cdots.cid
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, cid ASC) rk
+        FROM cdots
       ) WHERE rk = 1
     ), qdots AS (
       SELECT q.vec_id AS qid, c.vec_id AS cid, qa.bucket,
-             CAST(SUM(CAST(q.v * c.v AS DECIMAL(28,12))) AS DOUBLE) AS dot
-      FROM flat q
+             ROUND(
+               list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / SQRT(
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                 * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               ), 8) AS cosine
+      FROM embeddings q
       JOIN assign qa ON qa.vec_id = q.vec_id
-      JOIN flat c ON c.pos = q.pos
-      JOIN assign ca ON ca.vec_id = c.vec_id AND ca.bucket = qa.bucket
+      JOIN assign ca ON ca.bucket = qa.bucket
+      JOIN embeddings c ON c.vec_id = ca.vec_id
       WHERE q.vec_id >= 10 AND q.vec_id < 20 AND c.vec_id <> q.vec_id
-      GROUP BY 1, 2, 3
     )
     SELECT qid, cid, cosine, rk, bucket FROM (
-      SELECT qid, cid, ROUND(dot / SQRT(nq.norm2 * nc.norm2), 8) AS cosine,
-             bucket,
-             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
-               ROUND(dot / SQRT(nq.norm2 * nc.norm2), 8) DESC, cid ASC) rk
-      FROM qdots JOIN nrm nq ON nq.vec_id = qdots.qid
-                 JOIN nrm nc ON nc.vec_id = qdots.cid
+      SELECT qid, cid, cosine, bucket,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) rk
+      FROM qdots
     ) WHERE rk <= 3
     """
 
@@ -1260,23 +1253,21 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_dedup_embedding_cosine() -> str:
+    # list_dot_product is a sequential float64 fold — bit-identical to the
+    # Spark side's F.aggregate(zip_with(...)) fold (same order, same IEEE
+    # arithmetic); no decimal-sum machinery needed for co-located arrays.
     return """
-    WITH flat AS (
-      SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
-      FROM embeddings, UNNEST(range(1, LEN(embedding) + 1)) AS t(i)
-    ), nrm AS (
-      SELECT vec_id, CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS norm2
-      FROM flat GROUP BY 1
-    ), d AS (
+    WITH pairs AS (
       SELECT fa.vec_id AS a, fb.vec_id AS b,
-             CAST(SUM(CAST(fa.v * fb.v AS DECIMAL(28,12))) AS DOUBLE) AS dot
-      FROM flat fa JOIN flat fb ON fa.pos = fb.pos AND fa.vec_id < fb.vec_id
-      GROUP BY 1, 2
+             ROUND(
+               list_dot_product(CAST(fa.embedding AS DOUBLE[]), CAST(fb.embedding AS DOUBLE[]))
+               / SQRT(
+                   list_dot_product(CAST(fa.embedding AS DOUBLE[]), CAST(fa.embedding AS DOUBLE[]))
+                 * list_dot_product(CAST(fb.embedding AS DOUBLE[]), CAST(fb.embedding AS DOUBLE[]))
+               ), 8) AS cosine
+      FROM embeddings fa JOIN embeddings fb ON fa.vec_id < fb.vec_id
     )
-    SELECT a, b, ROUND(dot / SQRT(na.norm2 * nb.norm2), 8) AS cosine
-    FROM d JOIN nrm na ON na.vec_id = d.a
-           JOIN nrm nb ON nb.vec_id = d.b
-    WHERE ROUND(dot / SQRT(na.norm2 * nb.norm2), 8) >= 0.35
+    SELECT a, b, cosine FROM pairs WHERE cosine >= 0.35
     """
 
 

@@ -9,10 +9,16 @@ query only within its centroid's bucket (equi-join on ``bucket``), cutting
 the candidate set ~C× per probe. Recall/cost trades by probing the p
 nearest buckets instead of 1.
 
-All dot products run as exact-decimal sums over ``posexplode`` pairs so an
-independent engine (the DuckDB oracle) reproduces every value bit-for-bit;
-the production fast path would keep the same plan shape with a vectorized
-``F.zip_with``/pandas-UDF kernel instead of the decimal fold.
+Two cross-engine-reproducible dot-product forms are used, chosen by plan
+shape:
+
+* **order-deterministic float fold** (``_fold_dot``): a sequential
+  ``F.aggregate(zip_with(...))`` over co-located arrays — bit-identical
+  to DuckDB's ``list_dot_product`` (same order, same IEEE arithmetic),
+  zero shuffle, used for all pairwise scoring;
+* **order-insensitive exact-decimal sums** over ``posexplode`` elements
+  (``_dot``): used when values must survive a grouped aggregation whose
+  partial-merge order Spark does not fix (e.g. SRP projections).
 """
 
 from __future__ import annotations
@@ -47,23 +53,74 @@ def norms(emb: DataFrame) -> DataFrame:
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, bucket, cos_to_centroid): nearest centroid by cosine.
 
-    ``centroids``: (vec_id, embedding) — tiny (C rows), so the element
-    join broadcasts; the corpus is never shuffled."""
-    v = _flat(emb, "vid", "v")
-    c = _flat(centroids, "cid", "c")
-    dots = _dot(v.join(F.broadcast(c), "pos"), ["vid", "cid"], "v", "c", "dot")
-    nv = norms(emb).select(F.col("vec_id").alias("vid"), F.col("norm2").alias("nv"))
-    nc = norms(centroids).select(F.col("vec_id").alias("cid"), F.col("norm2").alias("nc"))
-    cos = (
-        dots.join(nv, "vid").join(F.broadcast(nc), "cid")
-        .withColumn("cos", F.round(F.col("dot") / F.sqrt(F.col("nv") * F.col("nc")), 8))
+    ``centroids``: (vec_id, embedding) — tiny (C rows), broadcast; the
+    corpus never shuffles. Cosines come from the deterministic per-row
+    float fold (no explode — one map stage plus the top-1 window)."""
+    dim = embedding_dim(emb)
+    v = _with_norm(emb, "a", "ea", "na2", dim)
+    c = _with_norm(centroids, "b", "eb", "nb2", dim)
+    cos = F.round(
+        _fold_dot(F.col("ea"), F.col("eb"), dim) / F.sqrt(F.col("na2") * F.col("nb2")), 8
+    )
+    pairs = v.crossJoin(F.broadcast(c)).select(
+        F.col("a").alias("vid"), F.col("b").alias("cid"), cos.alias("cos")
     )
     w = Window.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cid"))
     return (
-        cos.withColumn("rk", F.row_number().over(w))
+        pairs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(F.col("vid").alias("vec_id"), F.col("cid").alias("bucket"),
                 F.col("cos").alias("cos_to_centroid"))
+    )
+
+
+def _fold_dot(x, y, dim: int | None = None):
+    """Sequential float64 dot product over two array columns.
+
+    Unlike the grouped decimal sums above (order-INSENSITIVE, for values
+    that cross a shuffle), this runs in array-index order inside one JVM
+    expression — deterministic, so it is bit-identical to DuckDB's
+    ``list_dot_product`` (also a sequential fold). Use it when the pair of
+    arrays is already co-located on one row: no explode, no shuffle.
+
+    ``dim`` is accepted for call-site symmetry but unused: unrolling the
+    fold into a 64-term left-chained codegen sum was MEASURED 3× SLOWER
+    than the HOF fold here (giant expression trees fall out of JIT-able
+    codegen and re-evaluate per consumer), so the fold stays the fast
+    deterministic form."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def embedding_dim(emb: DataFrame) -> int:
+    """Array length for fixed-width embedding columns (one tiny job)."""
+    return emb.select(F.max(F.size("embedding"))).first()[0]
+
+
+def _with_norm(emb: DataFrame, id_alias: str, vec_alias: str, n_alias: str,
+               dim: int | None = None) -> DataFrame:
+    """(id, embedding, norm2) — norm folded ONCE per vector, not per pair
+    (higher-order-function folds are interpreted, so fold count dominates
+    the O(n²) stage's cost)."""
+    return emb.select(
+        F.col("vec_id").alias(id_alias),
+        F.col("embedding").alias(vec_alias),
+        _fold_dot(F.col("embedding"), F.col("embedding"), dim).alias(n_alias),
+    )
+
+
+def _pair_cosine(pairs: DataFrame, threshold: float,
+                 dim: int | None = None) -> DataFrame:
+    """(a, b, ea, eb, na2, nb2) → (a, b, cosine >= threshold)."""
+    cos = F.round(
+        _fold_dot(F.col("ea"), F.col("eb"), dim) / F.sqrt(F.col("na2") * F.col("nb2")), 8
+    )
+    return (
+        pairs.select("a", "b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
     )
 
 
@@ -71,24 +128,17 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """Exact all-pairs embedding near-dup: (a, b, cosine) with a < b and
     cosine >= threshold.
 
-    This is the audit/oracle path — O(n²·d), correct by construction; run
-    it on rerank sets or per-bucket candidates, never the raw corpus. The
-    corpus-scale path is :func:`cosine_near_dup_lsh`, which feeds ONLY its
-    LSH candidate pairs through the same exact verifier, so its output is
-    a subset of this one (precision 1.0 by construction)."""
-    a = _flat(emb, "a", "av")
-    b = _flat(emb, "b", "bv")
-    pairs = a.join(b, "pos").filter(F.col("a") < F.col("b"))
-    dots = _dot(pairs, ["a", "b"], "av", "bv", "dot")
-    n = norms(emb)
-    na = n.select(F.col("vec_id").alias("a"), F.col("norm2").alias("na"))
-    nb = n.select(F.col("vec_id").alias("b"), F.col("norm2").alias("nb"))
-    return (
-        dots.join(na, "a").join(nb, "b")
-        .withColumn("cosine", F.round(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 8))
-        .filter(F.col("cosine") >= F.lit(threshold))
-        .select("a", "b", "cosine")
-    )
+    Plan shape: broadcast the corpus once, map-only cross join with the
+    per-row float fold — no explode, no shuffle of elements. O(n²·d)
+    compute: the audit path for rerank sets / per-bucket candidates, never
+    the raw corpus. The corpus-scale path is :func:`cosine_near_dup_lsh`,
+    which feeds ONLY its LSH candidate pairs through the same verifier, so
+    its output is a subset of this one (precision 1.0 by construction)."""
+    dim = embedding_dim(emb)
+    a = _with_norm(emb, "a", "ea", "na2", dim)
+    b = _with_norm(emb, "b", "eb", "nb2", dim)
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("a") < F.col("b"))
+    return _pair_cosine(pairs, threshold, dim)
 
 
 def hyperplanes(spark, dim: int, bits: int, seed: str = "rp") -> DataFrame:
@@ -143,7 +193,7 @@ def cosine_near_dup_lsh(emb: DataFrame, spark, threshold: float,
     Scale shape: the corpus is shuffled once by (band, sig) — a key whose
     cardinality grows with n, so AQE splits hot buckets; candidate pairs
     (the quadratic term) exist only within a bucket."""
-    dim = emb.select(F.max(F.size("embedding"))).first()[0]
+    dim = embedding_dim(emb)
     sigs = rp_band_signatures(emb, hyperplanes(spark, dim, bits, seed), rows_per_band)
     left = sigs.select(F.col("vec_id").alias("a"), "band", "sig")
     right = sigs.select(F.col("vec_id").alias("b"), "band", "sig")
@@ -152,44 +202,43 @@ def cosine_near_dup_lsh(emb: DataFrame, spark, threshold: float,
         .filter(F.col("a") < F.col("b"))
         .select("a", "b").distinct()
     )
-    af = _flat(emb, "a", "av")
-    bf = _flat(emb, "b", "bv")
-    pairs = cand.join(af, "a").join(bf, ["b", "pos"])
-    dots = _dot(pairs, ["a", "b"], "av", "bv", "dot")
-    n = norms(emb)
-    na = n.select(F.col("vec_id").alias("a"), F.col("norm2").alias("na"))
-    nb = n.select(F.col("vec_id").alias("b"), F.col("norm2").alias("nb"))
-    return (
-        dots.join(na, "a").join(nb, "b")
-        .withColumn("cosine", F.round(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 8))
-        .filter(F.col("cosine") >= F.lit(threshold))
-        .select("a", "b", "cosine")
-    )
+    ea = _with_norm(emb, "a", "ea", "na2", dim)
+    eb = _with_norm(emb, "b", "eb", "nb2", dim)
+    # same verifier as cosine_near_dup_pairs => identical values per pair
+    return _pair_cosine(cand.join(ea, "a").join(eb, "b"), threshold, dim)
 
 
 def ivf_topk(emb: DataFrame, centroids: DataFrame, query_pred,
              k: int = 5) -> DataFrame:
     """Top-k cosine neighbors per query, searched ONLY within the query's
     IVF bucket (single-probe). Returns (qid, cid, cosine, rk, bucket)."""
+    dim = embedding_dim(emb)
     assign = ivf_assign(emb, centroids).select("vec_id", "bucket")
     tagged = emb.join(assign, "vec_id")
-    q = tagged.filter(query_pred(F.col("vec_id")))
-    qf = _flat(q, "qid", "qv", extra={"bucket": "qbucket"})
-    cf = _flat(tagged, "cid", "cv", extra={"bucket": "cbucket"})
-    pairs = qf.join(cf, "pos").filter(
-        (F.col("qbucket") == F.col("cbucket")) & (F.col("qid") != F.col("cid"))
+    q = (
+        tagged.filter(query_pred(F.col("vec_id")))
+        .select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
+                F.col("bucket"))
+        .withColumn("na2", _fold_dot(F.col("ea"), F.col("ea"), dim))
     )
-    dots = _dot(pairs, ["qid", "cid", "qbucket"], "qv", "cv", "dot")
-    n = norms(emb)
-    nq = n.select(F.col("vec_id").alias("qid"), F.col("norm2").alias("nq"))
-    ncand = n.select(F.col("vec_id").alias("cid"), F.col("norm2").alias("nc"))
-    cos = (
-        dots.join(nq, "qid").join(ncand, "cid")
-        .withColumn("cosine", F.round(F.col("dot") / F.sqrt(F.col("nq") * F.col("nc")), 8))
+    c = (
+        tagged.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"),
+                      F.col("bucket"))
+        .withColumn("nb2", _fold_dot(F.col("eb"), F.col("eb"), dim))
+    )
+    # query set is small by construction — broadcast it; the corpus stays
+    # where it is and only same-bucket candidates pay the fold
+    pairs = c.join(F.broadcast(q), "bucket").filter(F.col("a") != F.col("b"))
+    cos = F.round(
+        _fold_dot(F.col("ea"), F.col("eb"), dim) / F.sqrt(F.col("na2") * F.col("nb2")), 8
+    )
+    scored = pairs.select(
+        F.col("a").alias("qid"), F.col("b").alias("cid"),
+        cos.alias("cosine"), F.col("bucket"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
-        cos.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("qid", "cid", "cosine", "rk", F.col("qbucket").alias("bucket"))
+        .select("qid", "cid", "cosine", "rk", "bucket")
     )
