@@ -59,10 +59,15 @@ def time_image_suite(spark, path: str, with_decode: bool) -> dict:
 
     images = spark.read.parquet(path)
     n = images.count()  # warm FS cache / commit scan stats before timing
-    t0 = time.perf_counter()
-    res = run_image_validation(spark, images, with_decode=with_decode)
-    res.verdicts.write.format("noop").mode("overwrite").save()
-    sec = time.perf_counter() - t0
+
+    def one_run() -> float:
+        t0 = time.perf_counter()
+        res = run_image_validation(spark, images, with_decode=with_decode)
+        res.verdicts.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    one_run()  # warm: codegen + JIT of the fused agg (same as scaling_bench)
+    sec = one_run()
     return {"rows": n, "sec": round(sec, 3), "rows_per_sec": round(n / sec, 1)}
 
 
