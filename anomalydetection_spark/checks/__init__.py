@@ -13,6 +13,7 @@ from anomalydetection_spark.checks.uniqueness import UniquenessCheck
 from anomalydetection_spark.checks.referential import ReferentialCheck
 from anomalydetection_spark.checks.drift import DriftCheck, histogram, psi_from_histograms, ks_from_histograms
 from anomalydetection_spark.checks.anomaly import RobustZScoreCheck, MahalanobisCheck
+from anomalydetection_spark.checks.schema import SchemaCheck, reconcile_schema
 
 __all__ = [
     "Check",
@@ -26,6 +27,8 @@ __all__ = [
     "RangeCheck",
     "RowCountCheck",
     "PredicateCheck",
+    "SchemaCheck",
+    "reconcile_schema",
     "UniquenessCheck",
     "ReferentialCheck",
     "DriftCheck",

@@ -30,6 +30,7 @@ from anomalydetection_spark.checks import (
     ReferentialCheck,
     RlikeCheck,
     RobustZScoreCheck,
+    SchemaCheck,
     UniquenessCheck,
 )
 from anomalydetection_spark.suite import SuiteResult, ValidationSuite
@@ -49,22 +50,13 @@ EXPECTED_SCHEMA = T.StructType(
 KEYS = ["image_id"]
 
 
-def schema_verdicts(df: DataFrame) -> list[dict]:
+def image_schema_check() -> SchemaCheck:
     """Programmatic schema gate (replaces the reference's required-column
-    shinyalerts, /root/reference/PRIME_App/server.R:1040-1081)."""
-    actual = {f.name: f.dataType for f in df.schema.fields}
-    out = []
-    for f in EXPECTED_SCHEMA.fields:
-        present = f.name in actual
-        type_ok = present and actual[f.name] == f.dataType
-        out.append(
-            {
-                "check": "schema", "column": f.name, "metric": "present_and_typed",
-                "value": 1.0 if type_ok else 0.0, "lo": 1.0, "hi": None,
-                "passed": bool(type_ok),
-            }
-        )
-    return out
+    shinyalerts, /root/reference/PRIME_App/server.R:1040-1081): one
+    SchemaCheck over the authoritative column/type spec — zero scans."""
+    return SchemaCheck(
+        {f.name: f.dataType.simpleString() for f in EXPECTED_SCHEMA.fields}
+    )
 
 
 def build_image_suite(
@@ -74,6 +66,7 @@ def build_image_suite(
     partition_by: list[str] = ("fmt",),
 ) -> ValidationSuite:
     checks = [
+        image_schema_check(),
         ColumnStatsCheck("w", constraints={"null_rate": (None, 0.0), "min": (16.0, None), "max": (None, 8192.0)}),
         ColumnStatsCheck("h", constraints={"null_rate": (None, 0.0), "min": (16.0, None), "max": (None, 8192.0)}),
         ColumnStatsCheck("phash", constraints={"null_rate": (None, 0.0)}),
@@ -111,18 +104,4 @@ def run_image_validation(
     if fmt_dim is None:
         fmt_dim = ["jpeg", "png", "webp"]
     suite = build_image_suite(fmt_dim, drift_baseline, with_decode)
-    res = suite.run(images, spark)
-    extra = [
-        dict(v, table="images", partition="") for v in schema_verdicts(images)
-    ]
-    if extra:
-        sdf = spark.createDataFrame(
-            [
-                (e["table"], e["partition"], e["check"], e["column"], e["metric"],
-                 e["value"], e["lo"], e["hi"], e["passed"])
-                for e in extra
-            ],
-            schema=res.verdicts.schema,
-        )
-        res.verdicts = sdf.unionByName(res.verdicts)
-    return res
+    return suite.run(images, spark)

@@ -160,3 +160,26 @@ def test_per_partition_verdicts(spark, images):
     assert parts["jpeg"] is False      # the null caption is a jpeg row
     assert parts["png"] is True
     assert parts["bmp"] is True
+
+
+def test_schema_check_and_reconcile(spark):
+    from anomalydetection_spark.checks import SchemaCheck, reconcile_schema
+
+    df = spark.createDataFrame([(1, "a", 2.0)], "id long, name string, score double")
+
+    ok = SchemaCheck({"id": "bigint", "name": "string"}).run_extra(df)
+    assert all(v["passed"] for v in ok)
+
+    bad = SchemaCheck({"id": "int", "missing": None}).run_extra(df)
+    by_col = {(v["column"], v["metric"].split("(")[0]): v for v in bad}
+    assert not by_col[("id", "type_match")]["passed"]       # bigint != int
+    assert by_col[("id", "present")]["passed"]
+    assert not by_col[("missing", "present")]["passed"]
+
+    strict = SchemaCheck({"id": "bigint"}, strict=True).run_extra(df)
+    extra = [v for v in strict if v["metric"].startswith("unexpected_columns")]
+    assert extra and not extra[0]["passed"] and extra[0]["value"] == 2.0
+
+    # P2 rename reconciliation: historical name -> canonical, no clobber
+    renamed = reconcile_schema(df, {"name": "label", "absent": "x", "id": "score"})
+    assert set(renamed.columns) == {"id", "label", "score"}

@@ -92,7 +92,7 @@ def test_image_suite_end_to_end(spark, images_pd, images_df):
     pdf, man = images_pd
     res = run_image_validation(spark, images_df, fmt_dimension(spark))
     schema_rows = res.verdicts.filter("check = 'schema'").collect()
-    assert len(schema_rows) == 7
+    assert len(schema_rows) == 14  # present + type_match per column
     assert all(r["passed"] for r in schema_rows)  # every column present+typed
     # and the gate actually bites: break the type, expect a failure
     bad = run_image_validation(
