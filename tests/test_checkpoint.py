@@ -16,6 +16,8 @@ from anomalydetection_spark.checks import (
 from anomalydetection_spark.suite import ValidationSuite
 from anomalydetection_spark.synth import generate_pandas, to_spark
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 @pytest.fixture(scope="module")
 def image_table(spark, tmp_path_factory):
@@ -116,3 +118,36 @@ def test_fingerprint_tracks_content(tmp_path, spark, image_table):
     os.makedirs(other)
     open(os.path.join(other, "part-0.parquet"), "wb").write(b"x")
     assert input_fingerprint(spark, other) != f1
+
+
+def test_cli_run_and_resume_subprocess(spark, image_table, tmp_path):
+    """spark-submit-style entry (scripts/run_validation.py) end-to-end:
+    first run commits every unit; an identical relaunch resumes from the
+    ledger and runs nothing."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "cli_out")
+    cmd = [
+        sys.executable, os.path.join(REPO, "scripts", "run_validation.py"),
+        "--input", image_table, "--output", out,
+        "--n-buckets", "4", "--no-decode",
+    ]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+
+    def run():
+        p = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=300)
+        assert p.returncode == 0, p.stderr[-2000:]
+        body = p.stdout[p.stdout.index("{"):]
+        return json.loads(body[:body.rindex("}") + 1])
+
+    first = run()
+    assert first["units_completed"] == 4 and first["units_resumed"] == 0
+    assert all(not u["skipped"] for u in first["units"])
+    assert os.path.isdir(f"{out}/verdicts") and os.path.isdir(f"{out}/_ledger")
+
+    second = run()
+    assert second["units_resumed"] == 4
+    assert all(u["skipped"] for u in second["units"])
