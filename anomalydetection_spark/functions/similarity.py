@@ -208,15 +208,42 @@ def cosine_near_dup_lsh(emb: DataFrame, spark, threshold: float,
     return _pair_cosine(cand.join(ea, "a").join(eb, "b"), threshold, dim)
 
 
+def ivf_probe_buckets(emb: DataFrame, centroids: DataFrame,
+                      nprobe: int) -> DataFrame:
+    """(vec_id, bucket) — each vector's ``nprobe`` nearest centroid
+    buckets (probe list). nprobe=1 degenerates to ivf_assign's bucket."""
+    dim = embedding_dim(emb)
+    v = _with_norm(emb, "a", "ea", "na2", dim)
+    c = _with_norm(centroids, "b", "eb", "nb2", dim)
+    cos = F.round(
+        _fold_dot(F.col("ea"), F.col("eb"), dim) / F.sqrt(F.col("na2") * F.col("nb2")), 8
+    )
+    pairs = v.crossJoin(F.broadcast(c)).select(
+        F.col("a").alias("vec_id"), F.col("b").alias("bucket"), cos.alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("bucket"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= nprobe)
+        .select("vec_id", "bucket")
+    )
+
+
 def ivf_topk(emb: DataFrame, centroids: DataFrame, query_pred,
-             k: int = 5) -> DataFrame:
-    """Top-k cosine neighbors per query, searched ONLY within the query's
-    IVF bucket (single-probe). Returns (qid, cid, cosine, rk, bucket)."""
+             k: int = 5, nprobe: int = 1) -> DataFrame:
+    """Top-k cosine neighbors per query, searched within the query's
+    ``nprobe`` nearest IVF buckets (corpus vectors stay single-bucket —
+    probing widens the QUERY's candidate set, the standard IVF
+    recall/cost dial). Returns (qid, cid, cosine, rk, bucket)."""
     dim = embedding_dim(emb)
     assign = ivf_assign(emb, centroids).select("vec_id", "bucket")
     tagged = emb.join(assign, "vec_id")
+    probes = (
+        ivf_probe_buckets(emb, centroids, nprobe) if nprobe > 1 else assign
+    )
     q = (
-        tagged.filter(query_pred(F.col("vec_id")))
+        emb.join(probes, "vec_id")
+        .filter(query_pred(F.col("vec_id")))
         .select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
                 F.col("bucket"))
         .withColumn("na2", _fold_dot(F.col("ea"), F.col("ea"), dim))

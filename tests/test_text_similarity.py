@@ -132,3 +132,27 @@ def test_cosine_near_dup_lsh_recall_and_precision(spark):
     # SRP with 8 bands x 2 bits at cos>=0.35: per-band collision
     # p = (1 - theta/pi)^2 >= 0.377 => expected recall ~0.98
     assert len(lsh) / len(exact) >= 0.85
+
+
+def test_ivf_multiprobe_recall_monotone(spark):
+    import pyspark.sql.functions as F2
+    from anomalydetection_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.filter(F2.col("vec_id") < 8)
+    pred = lambda vid: (vid >= 10) & (vid < 30)
+
+    def result_set(nprobe):
+        rows = ivf_topk(emb, centroids, pred, k=3, nprobe=nprobe).collect()
+        return {(r["qid"], r["cid"]) for r in rows}, {r["qid"] for r in rows}
+
+    one, _ = result_set(1)
+    two, qids = result_set(2)
+    assert len(qids) == 20
+    # probing more buckets can only improve each query's candidate pool:
+    # every nprobe=2 top-k cosine is >= the nprobe=1 one at the same rank
+    rows1 = {(r["qid"], r["rk"]): r["cosine"]
+             for r in ivf_topk(emb, centroids, pred, k=3, nprobe=1).collect()}
+    rows2 = {(r["qid"], r["rk"]): r["cosine"]
+             for r in ivf_topk(emb, centroids, pred, k=3, nprobe=2).collect()}
+    assert all(rows2[key] >= rows1[key] - 1e-12 for key in rows1 if key in rows2)
