@@ -44,12 +44,6 @@ def _dot(df: DataFrame, group_cols: list[str], a: str, b: str, alias: str) -> Da
     )
 
 
-def norms(emb: DataFrame) -> DataFrame:
-    """(vec_id, norm2) exact squared L2 norms."""
-    f = _flat(emb, "vec_id", "v")
-    return _dot(f.withColumn("v2", F.col("v")), ["vec_id"], "v", "v2", "norm2")
-
-
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, bucket, cos_to_centroid): nearest centroid by cosine.
 
