@@ -733,6 +733,46 @@ def o_drift_ks() -> str:
     """
 
 
+def q_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned 1-Wasserstein drift (checks/drift.py emd_from_histograms):
+    sum over bins of |CDF_A − CDF_N|, in bin units."""
+    j = q_drift_psi(spark, sf_dir).select("bin", "na", "nn")
+    tot = j.agg(F.sum("na").alias("ta"), F.sum("nn").alias("tn")).first()
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdfa = F.sum("na").over(w).cast("double") / F.lit(float(tot["ta"]))
+    cdfn = F.sum("nn").over(w).cast("double") / F.lit(float(tot["tn"]))
+    return (
+        j.withColumn("gap", F.abs(cdfa - cdfn))
+        .agg(F.round(F.sum(F.col("gap").cast("decimal(28,12)")).cast("double"), 8)
+             .alias("emd_bins"))
+    )
+
+
+def o_drift_emd() -> str:
+    width = (PSI_HI - PSI_LO) / PSI_BINS
+    return f"""
+    WITH binned AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((l_extendedprice - {PSI_LO!r}) / {width!r}) AS INT), 0), {PSI_BINS - 1}) AS bin,
+             l_returnflag
+      FROM lineitem WHERE l_returnflag IN ('A','N')
+    ), h AS (
+      SELECT r.bin,
+        SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS na,
+        SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END) AS nn
+      FROM (SELECT UNNEST(range({PSI_BINS})) AS bin) r
+      LEFT JOIN binned b ON b.bin = r.bin
+      GROUP BY r.bin
+    ), t AS (SELECT CAST(SUM(na) AS DOUBLE) ta, CAST(SUM(nn) AS DOUBLE) tn FROM h),
+    c AS (
+      SELECT bin,
+        CAST(SUM(na) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t.ta AS cdfa,
+        CAST(SUM(nn) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t.tn AS cdfn
+      FROM h, t
+    )
+    SELECT ROUND(CAST(SUM(CAST(ABS(cdfa - cdfn) AS DECIMAL(28,12))) AS DOUBLE), 8) AS emd_bins FROM c
+    """
+
+
 # ---------------------------------------------------------------------------
 # text-analysis suite over documents (training-data-pipeline ops)
 
@@ -1337,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mahalanobis_flags": q_mahalanobis_flags,
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
+        "drift_emd": q_drift_emd,
         "text_token_stats": q_text_token_stats,
         "text_quality_buckets": q_text_quality_buckets,
         "dedup_exact": q_dedup_exact,
@@ -1380,6 +1421,7 @@ def oracle_sql() -> dict[str, str]:
         "mahalanobis_flags": o_mahalanobis_flags(),
         "drift_psi": o_drift_psi(),
         "drift_ks": o_drift_ks(),
+        "drift_emd": o_drift_emd(),
         "text_token_stats": o_text_token_stats(),
         "text_quality_buckets": o_text_quality_buckets(),
         "dedup_exact": o_dedup_exact(),

@@ -84,6 +84,21 @@ def ks_from_histograms(p: list[float], q: list[float]) -> float:
     return best
 
 
+def emd_from_histograms(p: list[float], q: list[float],
+                        bin_width: float = 1.0) -> float:
+    """Binned 1-Wasserstein (earth-mover's) distance: Σ|CDF gap|·width.
+    Complements PSI (sensitive to density ratio) and KS (max gap only)
+    with a location-aware magnitude — a mean shifted by 2 bins scores 2×
+    a shift of 1 bin, which KS cannot distinguish once saturated."""
+    cp = cq = 0.0
+    s = 0.0
+    for pi, qi in zip(p, q):
+        cp += pi
+        cq += qi
+        s += abs(cp - cq)
+    return s * bin_width
+
+
 class DriftCheck(Check):
     """Compare ``column``'s distribution against a baseline histogram,
     optionally per group (e.g. per fmt / per snapshot partition).
@@ -104,6 +119,7 @@ class DriftCheck(Check):
         group_cols: Sequence[str] = (),
         max_psi: float = 0.2,
         max_ks: float = 0.15,
+        max_emd_bins: float | None = None,
     ):
         self.column = column
         self.lo, self.hi, self.nbins = lo, hi, nbins
@@ -111,6 +127,8 @@ class DriftCheck(Check):
         self.group_cols = list(group_cols)
         self.max_psi = max_psi
         self.max_ks = max_ks
+        # EMD threshold expressed in BIN units (scale-free across configs)
+        self.max_emd_bins = max_emd_bins
         self.name = f"drift:{column}"
 
     def required_columns(self) -> list[str]:
@@ -134,4 +152,7 @@ class DriftCheck(Check):
             q = _normalize({i: c for i, c in enumerate(base)}, self.nbins)
             out.append(verdict(self.name, label, "psi", psi_from_histograms(p, q), None, self.max_psi))
             out.append(verdict(self.name, label, "ks", ks_from_histograms(p, q), None, self.max_ks))
+            if self.max_emd_bins is not None:
+                out.append(verdict(self.name, label, "emd_bins",
+                                   emd_from_histograms(p, q), None, self.max_emd_bins))
         return out

@@ -15,6 +15,7 @@ import pytest
 from hypothesis import given, settings, strategies as st
 
 from anomalydetection_spark.checks.drift import (
+    emd_from_histograms,
     ks_from_histograms,
     psi_from_histograms,
     _normalize,
@@ -61,6 +62,7 @@ def test_psi_ks_self_zero(h):
     p = _normalize(counts, n)
     assert psi_from_histograms(p, p) < 1e-12
     assert ks_from_histograms(p, p) == 0.0
+    assert emd_from_histograms(p, p) == 0.0
 
 
 @FAST
@@ -74,6 +76,11 @@ def test_psi_nonneg_ks_bounded(a, b):
     assert 0.0 <= ks <= 1.0 + 1e-12
     # symmetry of the binned KS statistic
     assert abs(ks - ks_from_histograms(q, p)) < 1e-12
+    emd = emd_from_histograms(p, q)
+    assert emd >= 0.0
+    assert abs(emd - emd_from_histograms(q, p)) < 1e-12
+    # KS lower-bounds EMD-in-bin-units (max gap <= sum of gaps)
+    assert emd >= ks - 1e-12
 
 
 # ---------------------------------------------------------------- PNG codec
