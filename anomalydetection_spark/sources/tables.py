@@ -34,6 +34,37 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return spark.read.parquet(f"{base}/{name}.parquet")
 
 
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    delimiter: str = ",",
+    header: bool = True,
+    normalize_empty: tuple[str, ...] | list[str] = (),
+    n_rows: int | None = None,
+) -> DataFrame:
+    """CSV/TSV source (reference operator S4, ``App/app.R:608-622``; TSV
+    via ``delimiter='\\t'``), with scan-time empty-string → NULL
+    normalization on the named columns (S5, ``PRIME_App/server.R:
+    105-121`` — NA-ness is semantically load-bearing downstream) and an
+    optional row limit (S6, ``server.R:92-95``).
+
+    Pass an explicit ``schema`` in production — inference scans the file
+    twice and is only acceptable for interactive use."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.option("header", str(header).lower()).option("sep", delimiter)
+    reader = reader.schema(schema) if schema is not None else reader.option(
+        "inferSchema", "true"
+    )
+    df = reader.csv(path)
+    for c in normalize_empty:
+        df = df.withColumn(c, F.nullif(F.col(c), F.lit("")))
+    if n_rows is not None:
+        df = df.limit(n_rows)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
     return {t: load_table(spark, t, sf_dir) for t in TESTDATA_TABLES}
 

@@ -183,3 +183,22 @@ def test_schema_check_and_reconcile(spark):
     # P2 rename reconciliation: historical name -> canonical, no clobber
     renamed = reconcile_schema(df, {"name": "label", "absent": "x", "id": "score"})
     assert set(renamed.columns) == {"id", "label", "score"}
+
+
+def test_csv_source_with_normalization_and_limit(spark, tmp_path):
+    from anomalydetection_spark.sources.tables import load_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,score\n1,alpha,3\n2,,5\n3,gamma,\n4,delta,9\n")
+    df = load_csv(spark, str(p), schema="id int, name string, score string",
+                  normalize_empty=("name", "score"))
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[2]["name"] is None and rows[3]["score"] is None
+    assert rows[1]["name"] == "alpha"
+    assert load_csv(spark, str(p), schema="id int, name string, score string",
+                    n_rows=2).count() == 2
+
+    tsv = tmp_path / "in.tsv"
+    tsv.write_text("id\tname\n7\tzeta\n")
+    t = load_csv(spark, str(tsv), schema="id int, name string", delimiter="\t")
+    assert t.first()["name"] == "zeta"
