@@ -27,7 +27,7 @@ from anomalydetection_spark.synth import pattern_pixels
 
 DECODE_RESULT_SCHEMA = (
     "image_id string, fmt string, decode_ok boolean, width int, height int, "
-    "psnr_db double, pixels_match boolean"
+    "psnr_db double, pixels_match boolean, caption_match boolean"
 )
 
 PSNR_MIN_LOSSY = 40.0
@@ -45,11 +45,19 @@ def _reference_pixels(image_id: str, w: int, h: int) -> np.ndarray | None:
 
 
 def decode_validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (image_id, bytes, fmt) → decode verdicts."""
+    """mapInPandas kernel: (image_id, bytes, fmt, caption) → decode +
+    caption-equality verdicts (both per-row invariants from
+    BASELINE.json input_hint, one Arrow pass)."""
+    from anomalydetection_spark.synth import reference_caption
+
     for pdf in batches:
         out = {k: [] for k in
-               ("image_id", "fmt", "decode_ok", "width", "height", "psnr_db", "pixels_match")}
-        for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+               ("image_id", "fmt", "decode_ok", "width", "height", "psnr_db",
+                "pixels_match", "caption_match")}
+        captions = pdf["caption"] if "caption" in pdf.columns else [None] * len(pdf)
+        for image_id, data, fmt, caption in zip(
+            pdf["image_id"], pdf["bytes"], pdf["fmt"], captions
+        ):
             ok, w = True, None
             h = None
             p_db = None
@@ -71,6 +79,11 @@ def decode_validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             except Exception:
                 ok = False
                 match = False
+            try:
+                idx = int(image_id.split("_")[-1])
+                cap_ok = caption == reference_caption(idx)
+            except (ValueError, AttributeError):
+                cap_ok = False
             out["image_id"].append(image_id)
             out["fmt"].append(fmt)
             out["decode_ok"].append(ok)
@@ -78,12 +91,16 @@ def decode_validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["height"].append(h)
             out["psnr_db"].append(p_db)
             out["pixels_match"].append(match)
+            out["caption_match"].append(bool(cap_ok))
         yield pd.DataFrame(out)
 
 
 def decode_results(images: DataFrame) -> DataFrame:
     """Narrow → decode → verdict frame. Map-only: no shuffle of bytes."""
-    return images.select("image_id", "bytes", "fmt").mapInPandas(
+    cols = ["image_id", "bytes", "fmt"] + (
+        ["caption"] if "caption" in images.columns else []
+    )
+    return images.select(*cols).mapInPandas(
         decode_validate, DECODE_RESULT_SCHEMA
     )
 
@@ -98,8 +115,12 @@ class DecodeCheck(Check):
 
     use_original = True
 
-    def __init__(self, max_violation_rate: float = 0.0):
+    def __init__(self, max_violation_rate: float = 0.0,
+                 max_caption_mismatch_rate: float = 0.01):
         self.max_violation_rate = max_violation_rate
+        # planted null/empty captions and dup-id rows legitimately fail
+        # caption equality; default tolerance covers the synth plant rates
+        self.max_caption_mismatch_rate = max_caption_mismatch_rate
         self.name = "decode:bytes"
         self._results: DataFrame | None = None
 
@@ -113,6 +134,7 @@ class DecodeCheck(Check):
             F.count(F.lit(1)).alias("n"),
             F.sum((~F.col("decode_ok")).cast("long")).alias("bad_decode"),
             F.sum((~F.coalesce(F.col("pixels_match"), F.lit(False))).cast("long")).alias("bad_pixels"),
+            F.sum((~F.col("caption_match")).cast("long")).alias("bad_captions"),
             F.min("psnr_db").alias("min_psnr"),
         ).first()
         n = agg["n"] or 1
@@ -121,6 +143,8 @@ class DecodeCheck(Check):
                     (agg["bad_decode"] or 0) / n, None, self.max_violation_rate),
             verdict(self.name, "bytes", "pixel_mismatch_rate",
                     (agg["bad_pixels"] or 0) / n, None, self.max_violation_rate),
+            verdict(self.name, "caption", "caption_mismatch_rate",
+                    (agg["bad_captions"] or 0) / n, None, self.max_caption_mismatch_rate),
             verdict(self.name, "bytes", "min_psnr_db",
                     agg["min_psnr"], PSNR_MIN_LOSSY, None),
         ]
@@ -128,7 +152,11 @@ class DecodeCheck(Check):
     def violations(self, df: DataFrame) -> DataFrame | None:
         return (
             self._res(df)
-            .filter(~F.col("decode_ok") | ~F.coalesce(F.col("pixels_match"), F.lit(False)))
+            .filter(
+                ~F.col("decode_ok")
+                | ~F.coalesce(F.col("pixels_match"), F.lit(False))
+                | ~F.col("caption_match")
+            )
             .select("image_id", "fmt", "psnr_db")
             .withColumn(VIOLATION_KEY_COL, F.lit(self.name))
         )

@@ -79,8 +79,10 @@ def phash_of(pixels: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def _row(i: int, with_payload: bool) -> dict:
-    g = _rng(i)
+def _identity_draws(g: np.random.Generator, i: int):
+    """The deterministic per-row draws shared by generation AND the
+    caption-equality invariant (reference_caption): one RNG consumption
+    order, so re-derivation can never drift from generation."""
     u = g.random()
     fmt = FMTS[int(np.searchsorted(FMT_CUM, u, side="left"))]
     bucket = i % N_BUCKETS
@@ -90,6 +92,19 @@ def _row(i: int, with_payload: bool) -> dict:
     h = int(np.clip(w / aspect, 16, 2048))
     cap_len = max(2, int(g.normal(8, 3)))
     caption = " ".join(g.choice(CAPTION_WORDS, size=cap_len))
+    return fmt, w, h, caption
+
+
+def reference_caption(i: int) -> str:
+    """Re-derive row ``i``'s source-of-truth caption (stands in for 'join
+    the upstream caption table' in production — the per-row caption-
+    equality invariant from BASELINE.json input_hint)."""
+    return _identity_draws(_rng(i), i)[3]
+
+
+def _row(i: int, with_payload: bool) -> dict:
+    g = _rng(i)
+    fmt, w, h, caption = _identity_draws(g, i)
     image_id = f"img_{i:010d}"
     violations: list[str] = []
 

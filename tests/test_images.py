@@ -185,3 +185,27 @@ def test_resize_images_nearest_neighbor_roundtrip(spark):
     ref = nn_resize(decode_image(bytes(row["bytes"]), row["fmt"]), 16, 12)
     got = decode_png(bytes(out[row["image_id"]]["bytes"]))
     assert (ref == got).all()
+
+
+def test_caption_equality_invariant(spark):
+    from anomalydetection_spark.image_udfs import decode_results
+    from anomalydetection_spark.synth import generate_pandas, reference_caption, to_spark
+
+    pdf, man = generate_pandas(400, with_payload=True)
+    # re-derivation matches generation for every clean row
+    planted = set(man["image_id"])
+    for _, row in pdf.iterrows():
+        if row["image_id"] not in planted and row["caption"] is not None:
+            idx = int(row["image_id"].split("_")[-1])
+            assert row["caption"] == reference_caption(idx)
+
+    res = decode_results(to_spark(spark, pdf)).toPandas()
+    bad = set(res[~res["caption_match"]]["image_id"])
+    null_or_empty = set(
+        man[man["check"].isin(["not_null:caption", "empty:caption"])]["image_id"]
+    )
+    dup_ids = set(man[man["check"] == "unique:image_id"]["image_id"])
+    # every planted caption violation fails equality; dup-id rows carry a
+    # caption drawn for a different identity so they fail too
+    assert null_or_empty <= bad
+    assert bad <= null_or_empty | dup_ids
