@@ -65,6 +65,62 @@ def validate_stream(
     return writer.start()
 
 
+RUNNING_STATS_STATE = "cnt long, s double, s2 double, mn double, mx double"
+RUNNING_STATS_OUT = (
+    "group string, cnt long, mean double, var double, mn double, mx double"
+)
+
+
+def running_column_stats_stream(
+    stream: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    exact running column stats per group accumulated ACROSS micro-batches.
+
+    Where ``validate_stream`` scores each batch independently, this keeps
+    merge-form moments (count, Σx, Σx²; min/max) in managed group state —
+    the streaming twin of the batch engine's Welford/merge single-pass
+    stats (checks/column_stats.py): same algebra, state store instead of
+    partial-aggregate buffers. State survives restarts via the streaming
+    checkpoint, so a resumed query continues the running totals exactly.
+    """
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            cnt, s, s2, mn, mx = state.get
+        else:
+            cnt, s, s2, mn, mx = 0, 0.0, 0.0, math.inf, -math.inf
+        for pdf in pdfs:
+            v = pdf[value_col].dropna().astype(float)
+            if len(v):
+                cnt += int(len(v))
+                s += float(v.sum())
+                s2 += float((v * v).sum())
+                mn = min(mn, float(v.min()))
+                mx = max(mx, float(v.max()))
+        state.update((cnt, s, s2, mn, mx))
+        mean = s / cnt if cnt else None
+        var = (s2 - s * s / cnt) / (cnt - 1) if cnt > 1 else None
+        yield pd.DataFrame([{
+            "group": key[0], "cnt": cnt, "mean": mean, "var": var,
+            "mn": None if math.isinf(mn) else mn,
+            "mx": None if math.isinf(mx) else mx,
+        }])
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_STATS_OUT,
+        stateStructType=RUNNING_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def watermarked_rate_metrics(
     images_stream: DataFrame,
     window: str = "1 minute",

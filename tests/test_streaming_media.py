@@ -82,3 +82,55 @@ def test_frame_sampling_feeds_image_suite(spark):
     assert len(frames) == 12
     px = decode_image(bytes(frames[0]["frame_png"]), "png")
     assert px.shape == (16, 16, 3)  # PNG round-trips through the real codec
+
+
+def test_stateful_running_stats_accumulate_across_batches_and_restart(spark, tmp_path):
+    from anomalydetection_spark.streaming.incremental import (
+        RUNNING_STATS_OUT,
+        running_column_stats_stream,
+    )
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "fmt string, w int").coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / name))
+
+    sink = str(tmp_path / "sink")
+
+    def run_query():
+        stream = spark.readStream.schema("fmt string, w int").option(
+            "maxFilesPerTrigger", "100"
+        ).parquet(str(src) + "/*")
+        out = running_column_stats_stream(stream, "fmt", "w")
+
+        def write(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (
+            out.writeStream.foreachBatch(write)
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        # last update per group wins (the one with the highest cnt)
+        return {
+            r["group"]: r
+            for r in spark.read.parquet(sink).orderBy("cnt").collect()
+        }
+
+    write_batch("b1", [("png", 10), ("png", 20), ("jpeg", 4)])
+    first = run_query()
+    assert first["png"]["cnt"] == 2 and first["png"]["mean"] == 15.0
+    assert first["jpeg"]["cnt"] == 1
+
+    # restart with the SAME checkpoint: state must resume, not reset
+    write_batch("b2", [("png", 30), ("jpeg", 6)])
+    second = run_query()
+    assert second["png"]["cnt"] == 3 and second["png"]["mean"] == 20.0
+    assert second["png"]["mn"] == 10.0 and second["png"]["mx"] == 30.0
+    assert second["jpeg"]["cnt"] == 2 and second["jpeg"]["mean"] == 5.0
+    # merge-form variance matches the exact batch computation
+    assert abs(second["png"]["var"] - 100.0) < 1e-9
