@@ -176,6 +176,8 @@ def main() -> None:
             for w, r in prior.get("workloads", {}).items():
                 if w not in args.workloads:
                     result["workloads"][w] = r
+            if "weak_scaling" in prior:
+                result["weak_scaling"] = prior["weak_scaling"]
     for w in args.workloads:
         r: dict = {"rows": cells[w][args.cpus[0]]["rows"]}
         for c in args.cpus:
@@ -260,6 +262,35 @@ def write_markdown(result: dict, cpus: list[int], pairs: list) -> None:
                 row += f" {r[f'vs_scan_ceiling_{lo}to{hi}']:.2f} |"
             lines.append(row)
         lines.append("")
+    weak = result.get("weak_scaling")
+    if weak:
+        lines += [
+            "## Weak scaling — fixed work per core (supplement)",
+            "",
+            "Cluster sizing holds data-per-executor constant, so the most",
+            "cluster-shaped single-box evidence is 4× cores on 4× data (ideal =",
+            "equal wall time). Fresh pre-touched JVMs, warmed, best-of-N:",
+            "",
+            "| workload | local[8] @ 32M | local[32] @ 128M | weak efficiency |",
+            "|---|---|---|---|",
+        ]
+        for w in ("suite_audit", "suite_profile"):
+            r = weak.get(w)
+            if not r:
+                continue
+            lines.append(
+                f"| {w.replace('suite_', 'suite ')} "
+                f"| {r['sec_local8_32M']:.1f}s ({r['rows_per_sec_local8']/1e6:.2f}M rows/s) "
+                f"| {r['sec_local32_128M']:.1f}s ({r['rows_per_sec_local32']/1e6:.2f}M rows/s) "
+                f"| **{r['weak_efficiency']:.2f}** |"
+            )
+        lines += [
+            "",
+            "Both land at the `cpu` control's 8→32 ceiling — again the box's",
+            "shared-resource cap, not an engine property: per-core throughput",
+            "is flat once the host's effective core delivery is factored out.",
+            "",
+        ]
     lines += [
         "## Reading the numbers",
         "",
