@@ -733,6 +733,59 @@ def o_drift_ks() -> str:
     """
 
 
+def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted aggregation (functions/skew.py, SURVEY.md §4.2.2):
+    exact per-key counts with a hot key's rows spread over n_salt
+    reducers first. Result must equal the plain groupBy — the oracle IS
+    the plain GROUP BY, so the gate proves salting changes the plan, not
+    the answer."""
+    from anomalydetection_spark.functions.skew import salted_group_count
+
+    e = _t(spark, sf_dir, "events")
+    return salted_group_count(e, ["event_type"], n_salt=8, salt_source="event_id")
+
+
+def o_skew_salted_counts() -> str:
+    return "SELECT event_type, COUNT(*) AS count FROM events GROUP BY event_type"
+
+
+def q_column_stats_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The suite's fused per-partition + global stats shape (suite.py
+    _fused_stats): ONE rollup aggregation yields every group's stats AND
+    the grand total, separated by grouping_id — mirrored by the oracle's
+    GROUP BY ROLLUP."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag")
+        .agg(
+            F.grouping_id("l_returnflag").alias("gid"),
+            F.count(F.lit(1)).alias("rows"),
+            F.count("l_quantity").alias("qty_cnt"),
+            _dsum("l_quantity", 4).alias("qty_sum"),
+            F.min(F.col("l_quantity").cast("double")).alias("qty_min"),
+            F.max(F.col("l_quantity").cast("double")).alias("qty_max"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("grp"),
+            "gid", "rows", "qty_cnt", "qty_sum", "qty_min", "qty_max",
+        )
+    )
+
+
+def o_column_stats_by_group() -> str:
+    return """
+    SELECT COALESCE(l_returnflag, 'ALL') AS grp,
+           GROUPING(l_returnflag) AS gid,
+           COUNT(*) AS rows,
+           COUNT(l_quantity) AS qty_cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS qty_sum,
+           MIN(CAST(l_quantity AS DOUBLE)) AS qty_min,
+           MAX(CAST(l_quantity AS DOUBLE)) AS qty_max
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag)
+    """
+
+
 def q_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned 1-Wasserstein drift (checks/drift.py emd_from_histograms):
     sum over bins of |CDF_A − CDF_N|, in bin units."""
@@ -1378,6 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
         "drift_emd": q_drift_emd,
+        "skew_salted_counts": q_skew_salted_counts,
+        "column_stats_by_group": q_column_stats_by_group,
         "text_token_stats": q_text_token_stats,
         "text_quality_buckets": q_text_quality_buckets,
         "dedup_exact": q_dedup_exact,
@@ -1422,6 +1477,8 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi": o_drift_psi(),
         "drift_ks": o_drift_ks(),
         "drift_emd": o_drift_emd(),
+        "skew_salted_counts": o_skew_salted_counts(),
+        "column_stats_by_group": o_column_stats_by_group(),
         "text_token_stats": o_text_token_stats(),
         "text_quality_buckets": o_text_quality_buckets(),
         "dedup_exact": o_dedup_exact(),
