@@ -733,6 +733,39 @@ def o_drift_ks() -> str:
     """
 
 
+def q_robust_z_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust z-score check (checks/anomaly.py RobustZScoreCheck math):
+    median/MAD with the 0.6745 consistency constant, flag |z| > 3.5,
+    count flags per group. Exact percentile on both engines (DuckDB
+    MEDIAN == Spark percentile(0.5): both interpolate even counts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    med = li.agg(F.expr(
+        "percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").alias("m")).first()["m"]
+    mad = li.agg(F.expr(
+        f"percentile(ABS(CAST(l_extendedprice AS DOUBLE) - {med!r}), 0.5)"
+    ).alias("m")).first()["m"]
+    z = F.lit(0.6745) * F.abs(x - F.lit(med)) / F.lit(mad)
+    return (
+        li.withColumn("flag", (z > 3.5).cast("long"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("rows"), F.sum("flag").alias("flagged"))
+    )
+
+
+def o_robust_z_flags() -> str:
+    return """
+    WITH m AS (SELECT MEDIAN(CAST(l_extendedprice AS DOUBLE)) AS med FROM lineitem),
+    d AS (SELECT MEDIAN(ABS(CAST(l_extendedprice AS DOUBLE) - m.med)) AS mad
+          FROM lineitem, m)
+    SELECT l_returnflag, COUNT(*) AS rows,
+           SUM(CASE WHEN 0.6745 * ABS(CAST(l_extendedprice AS DOUBLE) - m.med) / d.mad > 3.5
+                    THEN 1 ELSE 0 END) AS flagged
+    FROM lineitem, m, d
+    GROUP BY l_returnflag
+    """
+
+
 def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level salted aggregation (functions/skew.py, SURVEY.md §4.2.2):
     exact per-key counts with a hot key's rows spread over n_salt
@@ -1431,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
         "drift_emd": q_drift_emd,
+        "robust_z_flags": q_robust_z_flags,
         "skew_salted_counts": q_skew_salted_counts,
         "column_stats_by_group": q_column_stats_by_group,
         "text_token_stats": q_text_token_stats,
@@ -1477,6 +1511,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi": o_drift_psi(),
         "drift_ks": o_drift_ks(),
         "drift_emd": o_drift_emd(),
+        "robust_z_flags": o_robust_z_flags(),
         "skew_salted_counts": o_skew_salted_counts(),
         "column_stats_by_group": o_column_stats_by_group(),
         "text_token_stats": o_text_token_stats(),
