@@ -1154,7 +1154,12 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomalydetection_spark.functions.text import lang_id, lang_profiles
 
     d = _t(spark, sf_dir, "documents")
-    guesses = lang_id(d, lang_profiles(d, top_n=20))
+    # profiles are a tiny (langs × top_n) dimension: materialize once so
+    # the scoring join broadcasts a literal instead of re-running the
+    # whole corpus trigram pipeline on the build side
+    prof_rows = lang_profiles(d, top_n=20).collect()
+    profiles = spark.createDataFrame(prof_rows, "lang string, tg string")
+    guesses = lang_id(d, profiles)
     return (
         guesses.groupBy("lang", "guess")
         .agg(F.count(F.lit(1)).alias("n"))
