@@ -98,3 +98,24 @@ def test_heavy_hitters_finds_hot_phash(spark, images_path):
     hot = heavy_hitters(df, "phash", min_share=0.005, sample_fraction=1.0)
     vals = {r["phash"] for r in hot.collect()}
     assert HOT_PHASH in vals  # the planted ~1% hot key is detected
+
+
+def test_near_dup_pair_stage_broadcasts_and_never_shuffles_embeddings(spark):
+    from anomalydetection_spark.functions.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plan_of(cosine_near_dup_pairs(emb, 0.35))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the O(n^2) pair stage must not hash-shuffle the corpus
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_ivf_probe_join_broadcasts_query_side(spark):
+    import pyspark.sql.functions as F2
+
+    from anomalydetection_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.filter(F2.col("vec_id") < 4)
+    plan = plan_of(ivf_topk(emb, centroids, lambda v: v < 8, k=3))
+    assert "BroadcastExchange" in plan  # query side is broadcast by construction
