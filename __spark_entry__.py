@@ -49,6 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
         RangeCheck,
         ReferentialCheck,
         RobustZScoreCheck,
+        SchemaCheck,
         UniquenessCheck,
     )
 
@@ -57,6 +58,9 @@ def entry(spark: SparkSession) -> DataFrame:
     part = _t(spark, sf, "part")
     suite = ValidationSuite(
         checks=[
+            SchemaCheck(["l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+                         "l_extendedprice", "l_discount", "l_tax",
+                         "l_returnflag", "l_linestatus"]),
             ColumnStatsCheck("l_quantity", constraints={"null_rate": (None, 0.0), "min": (0.0, None)}),
             ColumnStatsCheck("l_extendedprice", constraints={"mean": (0.0, None)}),
             ColumnStatsCheck("l_discount", constraints={"max": (None, 1.0)}),
