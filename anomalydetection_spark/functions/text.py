@@ -95,11 +95,11 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     Returns (id_a, id_b, jaccard). Candidate generation is the banded
     equi-self-join; only candidates pay the exact set intersection."""
-    base = (
+    toks = (
         docs.filter(F.expr(f"size({TOKS}) >= {n}"))
         .select(F.col(id_col).alias("id"), F.expr(TOKS).alias("__toks"))
-        .select("id", token_shingles(n, "__toks").alias("sh"))
     )
+    base = toks.select("id", token_shingles(n, "__toks").alias("sh"))
     sigs = base.select("id", "sh", *[c for c in minhash_signature("sh", k)])
     banded = sigs.select(
         "id", F.explode(lsh_bands(k, rows_per_band)).alias("band")
@@ -115,7 +115,18 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh = base.select(F.col("id"), F.col("sh"))
+    # verify stage: re-shingle ONLY candidate docs (semi-join BEFORE the
+    # shingle transform) — at corpus scale candidates are a vanishing
+    # fraction, so the expensive shingling runs twice only for them
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        toks.join(cand_ids, "id", "left_semi")
+        .select("id", token_shingles(n, "__toks").alias("sh"))
+    )
     verified = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
