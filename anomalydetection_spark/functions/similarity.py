@@ -1,5 +1,8 @@
 """Embedding similarity search: brute-force cosine and IVF-bucketed ANN.
 
+Engine ADDITION beyond the reference (which has no embedding/ANN path) —
+part of the training-data-pipeline operator set from the build brief.
+
 The corpus-scale problem: top-k neighbors over an ``array<float>`` column.
 Brute force is a cross join — O(n·q) dot products; fine for rerank sets,
 fatal at 10^12 rows. The scale path here is **IVF (inverted file)**:

@@ -1,6 +1,9 @@
 """Text / dedup operators for training-data pipelines.
 
-These are the document-corpus counterparts of the engine's image checks:
+Engine ADDITION beyond the reference (which has no text analytics) —
+the large-scale training-data operations the build brief asks for on top
+of SURVEY.md §2's inventory. These are the document-corpus counterparts
+of the engine's image checks:
 exact + near-duplicate detection (MinHash-LSH, SimHash), n-gram language
 ID, rolling-hash fingerprinting, token/quality stats. All operators are
 pure DataFrame expressions (no Python UDFs) so they whole-stage-codegen
