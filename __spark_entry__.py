@@ -741,7 +741,10 @@ def q_robust_z_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust z-score check (checks/anomaly.py RobustZScoreCheck math):
     median/MAD with the 0.6745 consistency constant, flag |z| > 3.5,
     count flags per group. Exact percentile on both engines (DuckDB
-    MEDIAN == Spark percentile(0.5): both interpolate even counts)."""
+    MEDIAN == Spark percentile(0.5): both interpolate even counts); the
+    production check (RobustZScoreCheck) rides the fused pass with the
+    mergeable percentile_approx sketch instead — exact sort-based
+    percentiles don't scale to 10^12 rows, the sketch does."""
     li = _t(spark, sf_dir, "lineitem")
     x = F.col("l_extendedprice").cast("double")
     med = li.agg(F.expr(
