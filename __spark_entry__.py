@@ -737,6 +737,110 @@ def o_drift_ks() -> str:
     """
 
 
+def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions (engine addition — the reference has none,
+    SURVEY.md §2.9): extract props.k from the events JSON column, stats
+    per event type. get_json_object stays JVM-side (no UDF)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum(F.col("k").cast("long")).alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+def o_json_extract_stats() -> str:
+    return """
+    SELECT event_type,
+           COUNT(CAST(json_extract(props, '$.k') AS INT)) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+           MIN(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
+           MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
+    FROM events GROUP BY event_type
+    """
+
+
+def q_asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (functions/relational.py): each purchase event gets the
+    latest click at-or-before it by the same user. Composition operator —
+    union-tag + ordered window, no range-join explosion; the oracle is
+    DuckDB's native ASOF JOIN."""
+    from anomalydetection_spark.functions.relational import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    out = asof_join(purchases, clicks, on="ts", by=["user_id"],
+                    right_cols=["click_ts"])
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_ts_us"),
+    )
+
+
+def o_asof_join_clicks() -> str:
+    return """
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS ts_us, epoch_us(c.ts) AS click_ts_us
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (functions/relational.py): 1-hour
+    inactivity gap per user; per-session event counts and bounds in
+    integer microseconds (exact cross-engine)."""
+    from anomalydetection_spark.functions.relational import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, ["user_id"], "ts", gap_seconds=3600,
+                   order_tiebreak="event_id")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("start_us"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("end_us"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
+
+
+def o_session_stats() -> str:
+    return """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 3600000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+    FROM sess GROUP BY user_id, session_id
+    HAVING COUNT(*) >= 2
+    """
+
+
 def q_robust_z_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust z-score check (checks/anomaly.py RobustZScoreCheck math):
     median/MAD with the 0.6745 consistency constant, flag |z| > 3.5,
@@ -1476,6 +1580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
         "drift_emd": q_drift_emd,
+        "json_extract_stats": q_json_extract_stats,
+        "asof_join_clicks": q_asof_join_clicks,
+        "session_stats": q_session_stats,
         "robust_z_flags": q_robust_z_flags,
         "skew_salted_counts": q_skew_salted_counts,
         "column_stats_by_group": q_column_stats_by_group,
@@ -1523,6 +1630,9 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi": o_drift_psi(),
         "drift_ks": o_drift_ks(),
         "drift_emd": o_drift_emd(),
+        "json_extract_stats": o_json_extract_stats(),
+        "asof_join_clicks": o_asof_join_clicks(),
+        "session_stats": o_session_stats(),
         "robust_z_flags": o_robust_z_flags(),
         "skew_salted_counts": o_skew_salted_counts(),
         "column_stats_by_group": o_column_stats_by_group(),
