@@ -202,3 +202,38 @@ def test_csv_source_with_normalization_and_limit(spark, tmp_path):
     tsv.write_text("id\tname\n7\tzeta\n")
     t = load_csv(spark, str(tsv), schema="id int, name string", delimiter="\t")
     assert t.first()["name"] == "zeta"
+
+
+def test_asof_join_edges(spark):
+    from datetime import datetime
+
+    from anomalydetection_spark.functions.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", datetime(2024, 1, 1, 10)), (2, "u", datetime(2024, 1, 1, 12)),
+         (3, "v", datetime(2024, 1, 1, 9))],
+        "event_id long, user string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", datetime(2024, 1, 1, 10), 100.0),   # tied ts counts as before
+         ("u", datetime(2024, 1, 1, 11), 200.0)],
+        "user string, ts timestamp, val double")
+    out = {r["event_id"]: r["val"] for r in
+           asof_join(left, right, on="ts", by=["user"], right_cols=["val"]).collect()}
+    assert out[1] == 100.0      # tie at 10:00 → at-or-before
+    assert out[2] == 200.0      # latest prior
+    assert out[3] is None       # no prior right row for v
+
+
+def test_sessionize_gap_boundary(spark):
+    from datetime import datetime, timedelta
+
+    from anomalydetection_spark.functions.relational import sessionize
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("u", 1, t0), ("u", 2, t0 + timedelta(seconds=3600)),      # == gap
+            ("u", 3, t0 + timedelta(seconds=7200, microseconds=1))]    # > gap
+    df = spark.createDataFrame(rows, "user string, event_id long, ts timestamp")
+    out = {r["event_id"]: r["session_id"] for r in
+           sessionize(df, ["user"], "ts", 3600, order_tiebreak="event_id").collect()}
+    assert out[1] == 1 and out[2] == 1  # exactly-at-gap stays in session
+    assert out[3] == 2                  # strictly beyond gap starts a new one
