@@ -930,6 +930,38 @@ def o_column_stats_by_group() -> str:
     """
 
 
+def q_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-sets coverage (beyond rollup's prefix levels): CUBE
+    over (returnflag, linestatus) — every subtotal combination from ONE
+    pass, gid disambiguating levels."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+            F.count(F.lit(1)).alias("rows"),
+            _dsum("l_quantity", 4).alias("qty_sum"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "gid", "rows", "qty_sum",
+        )
+    )
+
+
+def o_cube_stats() -> str:
+    return """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS qty_sum
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """
+
+
 def q_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned 1-Wasserstein drift (checks/drift.py emd_from_histograms):
     sum over bins of |CDF_A − CDF_N|, in bin units."""
@@ -1586,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_z_flags": q_robust_z_flags,
         "skew_salted_counts": q_skew_salted_counts,
         "column_stats_by_group": q_column_stats_by_group,
+        "cube_stats": q_cube_stats,
         "text_token_stats": q_text_token_stats,
         "text_quality_buckets": q_text_quality_buckets,
         "dedup_exact": q_dedup_exact,
@@ -1636,6 +1669,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_z_flags": o_robust_z_flags(),
         "skew_salted_counts": o_skew_salted_counts(),
         "column_stats_by_group": o_column_stats_by_group(),
+        "cube_stats": o_cube_stats(),
         "text_token_stats": o_text_token_stats(),
         "text_quality_buckets": o_text_quality_buckets(),
         "dedup_exact": o_dedup_exact(),
