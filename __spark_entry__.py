@@ -428,6 +428,76 @@ def o_window_group_share() -> str:
 
 # §2.4 A8 — rollup with grand totals
 
+def q_window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE ranking (engine breadth beyond the reference's row_number-
+    only windows): price quartiles over orders, totals per quartile.
+    Unique (o_totalprice, o_orderkey) ordering keeps tiles deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("o_totalprice", 2).alias("price_sum"),
+        )
+    )
+
+
+def o_window_ntile_quartiles() -> str:
+    return """
+    WITH t AS (
+      SELECT o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+      FROM orders
+    )
+    SELECT quartile, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS price_sum
+    FROM t GROUP BY quartile
+    """
+
+
+def q_window_lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD/LAG windows (implicit in the reference's TS models only):
+    per-customer order-to-order spend delta; summary stats per customer
+    keep the result compact."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    prev = F.lag("o_totalprice").over(w)
+    delta = (F.col("o_totalprice") - prev)
+    return (
+        o.withColumn("delta", F.round(delta.cast("decimal(18,2)"), 2).cast("double"))
+        .filter(F.col("delta").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_deltas"),
+            _dsum("delta", 2).alias("delta_sum"),
+            F.min("delta").alias("delta_min"),
+            F.max("delta").alias("delta_max"),
+        )
+    )
+
+
+def o_window_lead_lag_delta() -> str:
+    return """
+    WITH d AS (
+      SELECT o_custkey,
+             ROUND(CAST(o_totalprice - LAG(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+               AS DECIMAL(18,2)), 2) AS delta
+      FROM orders
+    )
+    SELECT o_custkey, COUNT(*) AS n_deltas,
+           CAST(SUM(CAST(delta AS DECIMAL(28,2))) AS DOUBLE) AS delta_sum,
+           CAST(MIN(delta) AS DOUBLE) AS delta_min,
+           CAST(MAX(delta) AS DOUBLE) AS delta_max
+    FROM d WHERE delta IS NOT NULL
+    GROUP BY o_custkey
+    """
+
+
 def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
@@ -1603,6 +1673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_last_event": q_window_last_event,
         "window_topk_orders": q_window_topk_orders,
         "window_group_share": q_window_group_share,
+        "window_ntile_quartiles": q_window_ntile_quartiles,
+        "window_lead_lag_delta": q_window_lead_lag_delta,
         "rollup_totals": q_rollup_totals,
         "union_schema_fill": q_union_schema_fill,
         "topk_global": q_topk_global,
@@ -1654,6 +1726,8 @@ def oracle_sql() -> dict[str, str]:
         "window_last_event": o_window_last_event(),
         "window_topk_orders": o_window_topk_orders(),
         "window_group_share": o_window_group_share(),
+        "window_ntile_quartiles": o_window_ntile_quartiles(),
+        "window_lead_lag_delta": o_window_lead_lag_delta(),
         "rollup_totals": o_rollup_totals(),
         "union_schema_fill": o_union_schema_fill(),
         "topk_global": o_topk_global(),
