@@ -552,6 +552,28 @@ def o_union_schema_fill() -> str:
 
 # §2.7 O1/O4 — global ordered top-k with deterministic tiebreak
 
+def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (absent from the reference —
+    §2.8; engine breadth): customers with both fulfilled AND open orders,
+    minus any customer holding a pending ('P') order."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    p = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f.intersect(op).subtract(p).orderBy("o_custkey")
+
+
+def o_set_intersect_except() -> str:
+    return """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    ORDER BY o_custkey
+    """
+
+
 def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
@@ -1678,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_totals": q_rollup_totals,
         "union_schema_fill": q_union_schema_fill,
         "topk_global": q_topk_global,
+        "set_intersect_except": q_set_intersect_except,
         "derived_filters": q_derived_filters,
         "full_outer_agreement": q_full_outer_agreement,
         "mahalanobis_flags": q_mahalanobis_flags,
@@ -1731,6 +1754,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_totals": o_rollup_totals(),
         "union_schema_fill": o_union_schema_fill(),
         "topk_global": o_topk_global(),
+        "set_intersect_except": o_set_intersect_except(),
         "derived_filters": o_derived_filters(),
         "full_outer_agreement": o_full_outer_agreement(),
         "mahalanobis_flags": o_mahalanobis_flags(),
