@@ -16,6 +16,10 @@ FAST_SUBSET = [
     "text_token_stats",
     "uniqueness_summary",
     "drift_ks",
+    "cube_stats",
+    "asof_join_clicks",
+    "session_stats",
+    "set_intersect_except",
 ]
 
 
