@@ -99,6 +99,113 @@ def screen_columns(df: DataFrame, cols: list[str],
     return keep
 
 
+def pairwise_correlations(df: DataFrame, cols: list[str]) -> np.ndarray:
+    """Pairwise-complete Pearson correlation matrix (R ``cor(...,
+    use='pairwise.complete.obs')``) from ONE aggregation of per-pair
+    co-observed moments."""
+    k = len(cols)
+    aggs = []
+    for i, ci in enumerate(cols):
+        xi = F.col(ci).cast("double")
+        for j in range(i, k):
+            xj = F.col(cols[j]).cast("double")
+            both = F.col(ci).isNotNull() & F.col(cols[j]).isNotNull()
+            aggs += [
+                F.sum(both.cast("long")).alias(f"n_{i}_{j}"),
+                F.sum(F.when(both, xi)).alias(f"si_{i}_{j}"),
+                F.sum(F.when(both, xj)).alias(f"sj_{i}_{j}"),
+                F.sum(F.when(both, xi * xi)).alias(f"sii_{i}_{j}"),
+                F.sum(F.when(both, xj * xj)).alias(f"sjj_{i}_{j}"),
+                F.sum(F.when(both, xi * xj)).alias(f"sij_{i}_{j}"),
+            ]
+    row = df.agg(*aggs).first()
+    C = np.full((k, k), np.nan)
+    for i in range(k):
+        for j in range(i, k):
+            n = row[f"n_{i}_{j}"] or 0
+            if n < 2:
+                continue
+            si, sj = row[f"si_{i}_{j}"], row[f"sj_{i}_{j}"]
+            sii, sjj, sij = row[f"sii_{i}_{j}"], row[f"sjj_{i}_{j}"], row[f"sij_{i}_{j}"]
+            den = (n * sii - si * si) * (n * sjj - sj * sj)
+            if den > 0:
+                C[i, j] = C[j, i] = (n * sij - si * sj) / np.sqrt(den)
+    return C
+
+
+def screen_collinear_drop(df: DataFrame, cols: list[str],
+                          cutoff: float = 0.95) -> list[str]:
+    """K1 stage 3, App variant (``App/utils.R:131-146``), exact
+    semantics: while any UPPER-TRIANGLE pairwise-complete correlation
+    exceeds ``cutoff`` (SIGNED — only positive correlations trigger, as
+    in the reference's ``max(value) > 0.95``), drop the ``Var1`` (row
+    variable) of the FIRST violating pair in column-major melt order.
+    Dropping a column never changes the remaining pairwise-complete
+    correlations, so ONE aggregation suffices — the reference's per-drop
+    recompute is replayed driver-side on the same matrix."""
+    C = pairwise_correlations(df, cols)
+    keep = list(range(len(cols)))
+    while True:
+        first = None
+        for cpos in range(1, len(keep)):          # column-major upper tri
+            for rpos in range(cpos):
+                r = C[keep[rpos], keep[cpos]]
+                if not np.isnan(r) and r > cutoff:
+                    first = rpos
+                    break
+            if first is not None:
+                break
+        if first is None:
+            return [cols[i] for i in keep]
+        keep.pop(first)
+
+
+def flag_collinear_prime(df: DataFrame, cols: list[str],
+                         cutoff: float = 0.99) -> list[str]:
+    """K1 stage 3, PRIME variant's detection step
+    (``PRIME_App/utils.R:131-137``): columns flagged by
+    ``caret::findCorrelation(cutoff)`` — for each |r|>cutoff pair, flag
+    the member with the larger mean absolute correlation (caret's
+    heuristic)."""
+    C = pairwise_correlations(df, cols)
+    k = len(cols)
+    absC = np.abs(C)
+    mean_abs = np.array([np.nanmean(np.delete(absC[i], i)) if k > 1 else 0.0
+                         for i in range(k)])
+    flagged: set[int] = set()
+    for i in range(k):
+        for j in range(i + 1, k):
+            if not np.isnan(absC[i, j]) and absC[i, j] > cutoff:
+                flagged.add(i if mean_abs[i] >= mean_abs[j] else j)
+    return [cols[i] for i in sorted(flagged)]
+
+
+def inject_noise(df: DataFrame, keys: list[str], noisy_cols: list[str],
+                 sds: dict[str, float], scale: float = 0.01,
+                 seed: str = "123") -> DataFrame:
+    """PRIME stage-3 noise injection (``PRIME_App/utils.R:138-154``):
+    add N(0, scale·sd(col)) to the flagged columns. The reference uses
+    R's ``set.seed(123)`` stream — not reproducible outside R — so the
+    noise here is a seeded-hash Box-Muller over the row's key values:
+    deterministic AND partitioning-invariant (``F.randn`` is neither)."""
+    key_str = F.concat_ws("", *[F.col(k).cast("string") for k in keys])
+
+    def unit(c: str, tag: str):
+        h = F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(seed), key_str,
+                                                 F.lit(c), F.lit(tag))), 1, 8), 16, 10)
+        return (h.cast("double") + 1.0) / float(16 ** 8 + 1)  # (0, 1]
+
+    out = df
+    for c in noisy_cols:
+        u1, u2 = unit(c, "a"), unit(c, "b")
+        z = F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * float(np.pi) * u2)
+        out = out.withColumn(
+            c, F.when(F.col(c).isNotNull(),
+                      F.col(c).cast("double") + z * F.lit(scale * sds[c]))
+        )
+    return out
+
+
 def run_rec_analysis(
     df: DataFrame,
     keys: list[str],
@@ -108,9 +215,26 @@ def run_rec_analysis(
     min_row_obs: int = 4,
     compat_df_quirk: bool = True,
     estimates_for_flagged_only: bool = True,
+    collinearity: str | None = "drop",
+    collinear_cutoff: float | None = None,
 ) -> DataFrame:
-    """Full K1 pipeline. Returns keys + x + E_/D_ + MD + outlier_sp."""
+    """Full K1 pipeline. Returns keys + x + E_/D_ + MD + outlier_sp.
+
+    ``collinearity``: stage-3 handling — ``'drop'`` (App variant,
+    iterative signed-r>cutoff drop, default 0.95), ``'noise'`` (PRIME
+    variant, seeded noise into findCorrelation-flagged columns, default
+    cutoff 0.99), or None to skip."""
     cols = screen_columns(df, indicator_cols, min_presence)
+    if collinearity == "drop" and len(cols) > 1:
+        cols = screen_collinear_drop(df, cols, collinear_cutoff or 0.95)
+    elif collinearity == "noise" and len(cols) > 1:
+        noisy = flag_collinear_prime(df, cols, collinear_cutoff or 0.99)
+        if noisy:
+            sd_row = df.agg(*[
+                F.stddev_samp(F.col(c).cast("double")).alias(c) for c in noisy
+            ]).first()
+            df = inject_noise(df, keys, noisy,
+                              {c: float(sd_row[c] or 0.0) for c in noisy})
     k = len(cols)
     if k == 0:
         raise ValueError("no indicator columns survive the screens")

@@ -164,3 +164,52 @@ def test_compat_pred_reuse_quirk(spark, ts_data):
     ).toPandas()
     a = out[out["facility"] == "facA"].set_index("model")
     assert a.loc["ar1", "pred"] == a.loc["snaive", "pred"]  # utils.R:535
+
+
+def test_collinearity_drop_variant(spark):
+    from anomalydetection_spark.kernels.recommender import (
+        pairwise_correlations,
+        screen_collinear_drop,
+    )
+
+    rows = []
+    rng = __import__("numpy").random.default_rng(5)
+    for i in range(60):
+        a = float(rng.normal(100, 20))
+        b = 2.0 * a + 1.0            # exactly collinear with a (r = +1)
+        c = float(rng.normal(50, 10))
+        d = -a                        # r = -1 with a: NEGATIVE, must NOT trigger
+        rows.append((f"s{i}", a, b, c, d))
+    df = spark.createDataFrame(rows, "site string, a double, b double, c double, d double")
+
+    C = pairwise_correlations(df, ["a", "b", "c", "d"])
+    assert abs(C[0, 1] - 1.0) < 1e-9 and abs(C[0, 3] + 1.0) < 1e-9
+    kept = screen_collinear_drop(df, ["a", "b", "c", "d"], cutoff=0.95)
+    # first violating pair in column-major upper-tri order is (a, b):
+    # Var1 = a is dropped; the NEGATIVE perfect correlation (a, d) is
+    # reference behavior — signed r, never triggers
+    assert kept == ["b", "c", "d"]
+
+
+def test_collinearity_noise_variant_decorrelates(spark):
+    import numpy as np
+
+    from anomalydetection_spark.kernels.recommender import (
+        flag_collinear_prime,
+        inject_noise,
+        pairwise_correlations,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = [(f"s{i}", float(v), 3.0 * float(v), float(rng.normal(0, 1)))
+            for i, v in enumerate(rng.normal(10, 4, 80))]
+    df = spark.createDataFrame(rows, "site string, a double, b double, c double")
+    noisy = flag_collinear_prime(df, ["a", "b", "c"], cutoff=0.99)
+    assert set(noisy) and set(noisy) <= {"a", "b"}
+    sds = {c: 4.0 * (3.0 if c == "b" else 1.0) for c in noisy}
+    out = inject_noise(df, ["site"], noisy, sds)
+    C = pairwise_correlations(out, ["a", "b", "c"])
+    assert C[0, 1] < 1.0 - 1e-9  # no longer perfectly collinear
+    # deterministic: same seed → identical values
+    again = inject_noise(df, ["site"], noisy, sds)
+    assert out.orderBy("site").collect() == again.orderBy("site").collect()
