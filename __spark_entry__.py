@@ -498,6 +498,45 @@ def o_window_lead_lag_delta() -> str:
     """
 
 
+def q_row_argmax_driver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — per-row argmax across columns above a floor
+    (PRIME_App/utils.R:49-68: 'which indicator drives the anomaly'):
+    which charge component (discount vs tax amount) dominates each
+    lineitem, 'none' when neither clears the floor; counts per driver."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.round(F.col("l_extendedprice") * F.col("l_discount"), 4)
+    tax = F.round(F.col("l_extendedprice") * F.col("l_tax"), 4)
+    floor = F.lit(100.0)
+    best = F.greatest(disc, tax)
+    driver = (
+        F.when(best < floor, "none")
+        .when(disc >= tax, "discount")   # ties resolve to the first column
+        .otherwise("tax")
+    )
+    return (
+        li.withColumn("driver", driver)
+        .groupBy("l_returnflag", "driver")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def o_row_argmax_driver() -> str:
+    return """
+    WITH t AS (
+      SELECT l_returnflag,
+             ROUND(l_extendedprice * l_discount, 4) AS disc,
+             ROUND(l_extendedprice * l_tax, 4) AS tax
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CASE WHEN GREATEST(disc, tax) < 100.0 THEN 'none'
+                WHEN disc >= tax THEN 'discount'
+                ELSE 'tax' END AS driver,
+           COUNT(*) AS n
+    FROM t GROUP BY 1, 2
+    """
+
+
 def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
@@ -1697,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_group_share": q_window_group_share,
         "window_ntile_quartiles": q_window_ntile_quartiles,
         "window_lead_lag_delta": q_window_lead_lag_delta,
+        "row_argmax_driver": q_row_argmax_driver,
         "rollup_totals": q_rollup_totals,
         "union_schema_fill": q_union_schema_fill,
         "topk_global": q_topk_global,
@@ -1751,6 +1791,7 @@ def oracle_sql() -> dict[str, str]:
         "window_group_share": o_window_group_share(),
         "window_ntile_quartiles": o_window_ntile_quartiles(),
         "window_lead_lag_delta": o_window_lead_lag_delta(),
+        "row_argmax_driver": o_row_argmax_driver(),
         "rollup_totals": o_rollup_totals(),
         "union_schema_fill": o_union_schema_fill(),
         "topk_global": o_topk_global(),
