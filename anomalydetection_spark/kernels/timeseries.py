@@ -220,6 +220,32 @@ def run_time_series(
     return packed.mapInPandas(fit_batches, out_schema)
 
 
+def scorecard(outliers: DataFrame, entity_cols: list[str],
+              indicator_col: str, count_col: str = "Outliers") -> DataFrame:
+    """K3 ``createScoreCard`` re-expression (PRIME_App/utils.R:381-407):
+    entity × indicator outlier-count matrix via pivot, zero-filled, with
+    a ``Total`` column (row-wise sum, A9) and an appended ``Total`` row
+    (column sums, A8/U4). One pivot aggregation + a one-row global agg —
+    the reference's rowSums/colSums/rbind sequence collapses into plan
+    nodes."""
+    base = (
+        outliers.groupBy(*entity_cols)
+        .pivot(indicator_col)
+        .sum(count_col)
+        .fillna(0)
+    )
+    ind_cols = [c for c in base.columns if c not in entity_cols]
+    with_total = base.withColumn(
+        "Total", sum(F.col(c) for c in ind_cols)
+    )
+    totals = with_total.agg(
+        *[F.sum(c).alias(c) for c in ind_cols + ["Total"]]
+    )
+    for e in entity_cols:
+        totals = totals.withColumn(e, F.lit("Total"))
+    return with_total.unionByName(totals.select(*with_total.columns))
+
+
 def model_agreement(scored: DataFrame, keys: list[str]) -> DataFrame:
     """3-way model agreement per series (the reference's full-outer join
     of ARIMA/ETS/STL outlier tables, utils.R:636-651 — here a pivot)."""

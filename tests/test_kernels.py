@@ -213,3 +213,19 @@ def test_collinearity_noise_variant_decorrelates(spark):
     # deterministic: same seed → identical values
     again = inject_noise(df, ["site"], noisy, sds)
     assert out.orderBy("site").collect() == again.orderBy("site").collect()
+
+
+def test_scorecard_matrix_with_totals(spark):
+    from anomalydetection_spark.kernels.timeseries import scorecard
+
+    rows = [
+        ("fac1", "indA", 2), ("fac1", "indB", 1),
+        ("fac2", "indA", 0), ("fac2", "indB", 3),
+    ]
+    df = spark.createDataFrame(rows, "facility string, indicator string, Outliers int")
+    out = {r["facility"]: r for r in
+           scorecard(df, ["facility"], "indicator").collect()}
+    assert out["fac1"]["indA"] == 2 and out["fac1"]["Total"] == 3
+    assert out["fac2"]["indB"] == 3 and out["fac2"]["Total"] == 3
+    t = out["Total"]
+    assert (t["indA"], t["indB"], t["Total"]) == (2, 4, 6)
