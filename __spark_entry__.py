@@ -115,7 +115,7 @@ def o_column_stats_profile() -> str:
     for c in NUMERIC_LI:
         parts.append(
             f"SELECT '{c}' AS column_name, COUNT({c}) AS cnt, "
-            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_cnt, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt, "
             f"CAST(SUM(CAST({c} AS DECIMAL(28,4))) AS DOUBLE) AS sum_val, "
             f"MIN(CAST({c} AS DOUBLE)) AS min_val, MAX(CAST({c} AS DOUBLE)) AS max_val, "
             f"CAST(SUM(CAST({c} AS DECIMAL(28,4))) AS DOUBLE) / COUNT({c}) AS mean_val "
@@ -149,7 +149,7 @@ def o_null_rate_gate() -> str:
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
     parts = [
         f"SELECT '{c}' AS column_name, "
-        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_cnt, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt, "
         f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS null_rate, "
         f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) = 0 AS passed FROM orders"
         for c in cols
@@ -203,8 +203,8 @@ def o_uniqueness_summary() -> str:
     )
     SELECT (SELECT COUNT(*) FROM lineitem) AS total_rows,
            COUNT(*) AS total_keys,
-           SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dup_keys,
-           SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_rows,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_rows,
            CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
              / (SELECT COUNT(*) FROM lineitem) AS duplicate_row_rate
     FROM k
@@ -419,7 +419,7 @@ def o_window_group_share() -> str:
     return """
     SELECT * FROM (
       SELECT event_type, user_id, COUNT(*) AS n,
-             SUM(COUNT(*)) OVER (PARTITION BY event_type) AS type_total,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS BIGINT) AS type_total,
              CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS share
       FROM events GROUP BY event_type, user_id
     ) WHERE n >= 20
@@ -653,7 +653,7 @@ def o_derived_filters() -> str:
     return """
     SELECT (event_type || '_' || CASE WHEN user_id < 75 THEN 'low' ELSE 'high' END) AS type_key,
            COUNT(*) AS n,
-           SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS sum_k,
+           CAST(SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS BIGINT) AS sum_k,
            CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
     FROM events
     WHERE event_type IN ('click','purchase','view')
@@ -816,8 +816,8 @@ def o_drift_psi() -> str:
       FROM lineitem WHERE l_returnflag IN ('A','N')
     ), h AS (
       SELECT r.bin,
-        SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS na,
-        SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END) AS nn
+        CAST(SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END) AS BIGINT) AS nn
       FROM (SELECT UNNEST(range({PSI_BINS})) AS bin) r
       LEFT JOIN binned b ON b.bin = r.bin
       GROUP BY r.bin
@@ -852,8 +852,8 @@ def o_drift_ks() -> str:
       FROM lineitem WHERE l_returnflag IN ('A','N')
     ), h AS (
       SELECT r.bin,
-        SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS na,
-        SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END) AS nn
+        CAST(SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END) AS BIGINT) AS nn
       FROM (SELECT UNNEST(range({PSI_BINS})) AS bin) r
       LEFT JOIN binned b ON b.bin = r.bin
       GROUP BY r.bin
@@ -890,7 +890,7 @@ def o_json_extract_stats() -> str:
     return """
     SELECT event_type,
            COUNT(CAST(json_extract(props, '$.k') AS INT)) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            MIN(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
            MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
     FROM events GROUP BY event_type
@@ -961,8 +961,8 @@ def o_session_stats() -> str:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -1001,8 +1001,8 @@ def o_robust_z_flags() -> str:
     d AS (SELECT MEDIAN(ABS(CAST(l_extendedprice AS DOUBLE) - m.med)) AS mad
           FROM lineitem, m)
     SELECT l_returnflag, COUNT(*) AS rows,
-           SUM(CASE WHEN 0.6745 * ABS(CAST(l_extendedprice AS DOUBLE) - m.med) / d.mad > 3.5
-                    THEN 1 ELSE 0 END) AS flagged
+           CAST(SUM(CASE WHEN 0.6745 * ABS(CAST(l_extendedprice AS DOUBLE) - m.med) / d.mad > 3.5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS flagged
     FROM lineitem, m, d
     GROUP BY l_returnflag
     """
@@ -1117,8 +1117,8 @@ def o_drift_emd() -> str:
       FROM lineitem WHERE l_returnflag IN ('A','N')
     ), h AS (
       SELECT r.bin,
-        SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS na,
-        SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END) AS nn
+        CAST(SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END) AS BIGINT) AS nn
       FROM (SELECT UNNEST(range({PSI_BINS})) AS bin) r
       LEFT JOIN binned b ON b.bin = r.bin
       GROUP BY r.bin
@@ -1187,7 +1187,7 @@ def o_text_quality_buckets() -> str:
       CASE WHEN CAST(LEN(list_distinct(string_split(text,' '))) AS DOUBLE) / LEN(string_split(text,' ')) >= 0.8 THEN 'high'
            WHEN CAST(LEN(list_distinct(string_split(text,' '))) AS DOUBLE) / LEN(string_split(text,' ')) >= 0.5 THEN 'medium'
            ELSE 'low' END AS quality,
-      COUNT(*) AS n, SUM(n_chars) AS sum_chars
+      COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY 1, 2
     """
 
@@ -1562,8 +1562,8 @@ def o_text_bpe_tokens() -> str:
              LEN(list_distinct(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0))) AS n_unique_bpe
       FROM documents
     )
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_bpe_tokens) AS total_tokens,
-           SUM(n_unique_bpe) AS total_unique, MAX(n_bpe_tokens) AS max_tokens
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_unique_bpe) AS BIGINT) AS total_unique, MAX(n_bpe_tokens) AS max_tokens
     FROM per_doc GROUP BY lang
     """
 

@@ -98,12 +98,19 @@ def main() -> int:
         try:
             res = con.sql(osql[name])
             ocols = list(res.columns)
+            otypes = [str(t) for t in res.types]
             orows = res.fetchall()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
             failures.append(name)
             continue
         problems = []
+        # The driver's canonicalizer renders DuckDB HUGEINT/DECIMAL unlike
+        # BIGINT/DOUBLE (round-1 lesson: 11 hash-fails from bare SUM(int)).
+        # Treat any such oracle output column as a hard failure locally.
+        risky = {c: t for c, t in zip(ocols, otypes) if "HUGEINT" in t or "DECIMAL" in t}
+        if risky:
+            problems.append(f"oracle emits driver-unsafe types {risky} — CAST to BIGINT/DOUBLE")
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):
