@@ -58,15 +58,47 @@ LINEAGE_SCHEMA = (
 def input_fingerprint(spark: SparkSession, path: str) -> str:
     """Pin the input data version. Parquet-dir fallback for the sandbox;
     an Iceberg deployment would use the table's current-snapshot-id (same
-    contract: equal fingerprint ⇔ same data version)."""
+    contract: equal fingerprint ⇔ same data version).
+
+    File listing goes through the Hadoop FileSystem API so ``s3a://`` /
+    ``hdfs://`` inputs fingerprint their real file set — a driver-local
+    ``os.walk`` would see nothing there and return one constant digest
+    for every remote input, silently defeating snapshot pinning."""
     entries = []
-    for root, _dirs, files in os.walk(path):
-        for f in sorted(files):
-            if f.startswith("_") or f.startswith("."):
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
                 continue
-            p = os.path.join(root, f)
-            st = os.stat(p)
-            entries.append(f"{os.path.relpath(p, path)}:{st.st_size}:{int(st.st_mtime)}")
+            entries.append(
+                f"{st.getPath().toUri().getPath()}:{st.getLen()}:{st.getModificationTime()}"
+            )
+    except Exception:
+        # no JVM gateway (Spark Connect): local filesystem only
+        if not os.path.exists(path):
+            raise ValueError(
+                f"cannot fingerprint {path!r}: Hadoop FileSystem listing "
+                "failed and the path is not on the local filesystem"
+            )
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.startswith("_") or f.startswith("."):
+                    continue
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append(
+                    f"{os.path.relpath(p, path)}:{st.st_size}:{int(st.st_mtime)}"
+                )
+    if not entries:
+        raise ValueError(
+            f"cannot fingerprint {path!r}: no data files found — refusing "
+            "to pin an empty digest (it would match every other empty input)"
+        )
     digest = hashlib.sha256("\n".join(sorted(entries)).encode()).hexdigest()
     return f"parquet:{digest[:16]}"
 
@@ -159,11 +191,29 @@ class CheckpointedRunner:
     # -- unit planning -------------------------------------------------------
     def _units(self, df: DataFrame) -> list[tuple[str, DataFrame]]:
         if self.unit_col is not None:
+            # keep the ORIGINAL typed values for the filter (stringifying
+            # then comparing col == lit(str) is lossy for non-string
+            # columns and matches nothing for NULL — rows would silently
+            # belong to no unit while the ledger commits the run complete)
             vals = [r[0] for r in df.select(self.unit_col).distinct().collect()]
-            return [
-                (f"{self.unit_col}={v}", df.filter(F.col(self.unit_col) == F.lit(v)))
-                for v in sorted(map(str, vals))
-            ]
+            vals.sort(key=lambda v: (v is not None, str(v)))  # NULL unit first
+            units = []
+            seen_labels: set[str] = set()
+            for v in vals:
+                label = f"{self.unit_col}=" + str(v).replace("/", "_")
+                if label in seen_labels:  # e.g. 1 vs '1' stringify alike
+                    raise ValueError(
+                        f"unit label collision on {label!r}; unit_col values "
+                        "must stringify uniquely"
+                    )
+                seen_labels.add(label)
+                pred = (
+                    F.col(self.unit_col).isNull()
+                    if v is None
+                    else F.col(self.unit_col) == F.lit(v)
+                )
+                units.append((label, df.filter(pred)))
+            return units
         b = F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.n_buckets))
         return [
             (f"bucket={i:04d}", df.filter(b == F.lit(i)))

@@ -63,6 +63,10 @@ class RobustZScoreCheck(Check):
     def required_columns(self) -> list[str]:
         return [self.column]
 
+    def reset(self) -> None:
+        self._median = None
+        self._mad = None
+
     # fused pass: median sketch (per-partition slices get their own rows)
     def stats_exprs(self) -> list[Column]:
         return [
@@ -154,6 +158,10 @@ class MahalanobisCheck(Check):
         self.cutoff = chi2_ppf(alpha, df_)
         self._mu: np.ndarray | None = None
         self._sinv: np.ndarray | None = None
+
+    def reset(self) -> None:
+        self._mu = None
+        self._sinv = None
 
     # ---- fused-pass moment expressions -------------------------------
     def stats_exprs(self) -> list[Column]:

@@ -90,6 +90,13 @@ class Check(abc.ABC):
         cache). ``None`` = unknown → the suite disables pruning."""
         return None
 
+    def reset(self) -> None:
+        """Clear state fitted during a previous ``run()`` (model moments,
+        cached result frames). ``ValidationSuite.run`` calls this first,
+        so one suite instance can be reused across units / micro-batches
+        without scoring unit N against unit 1's fitted model."""
+        return None
+
     def stats_exprs(self) -> list[Column]:
         """Aggregate expressions to fold into the suite's ONE fused pass."""
         return []

@@ -38,8 +38,13 @@ def asof_join(
     ``right_cols`` must not collide with left column names. Rows of the
     two sides tied on ``on`` count as "at or before" (right sorts first).
     With duplicate (by, on) pairs on the right, which tied row wins is
-    tie-broken by column order of ``right_cols`` values — pass a unique
-    (by, on) right side when that matters.
+    unspecified — pass a unique (by, on) right side when that matters.
+
+    The right columns travel as ONE struct through a single
+    ``last(ignorenulls)`` window: all attached values come from the same
+    matched right row (per-column fills could mix rows when a right row
+    holds NULLs), a genuine NULL inside the matched row survives, and W
+    right columns cost one window pass instead of W.
     """
     by = list(by)
     l = left.withColumn("__side", F.lit(1))
@@ -50,9 +55,19 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in right_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("__side") == 1).drop("__side")
+    # struct is non-NULL exactly on right rows, so ignorenulls skips left
+    # rows and picks the latest right row as a unit
+    packed = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(c) for c in right_cols])
+    )
+    u = u.withColumn("__r", F.last(packed, ignorenulls=True).over(w))
+    return (
+        u.filter(F.col("__side") == 1)
+        .select(
+            *[c for c in u.columns if c not in {"__side", "__r", *right_cols}],
+            *[F.col(f"__r.{c}").alias(c) for c in right_cols],
+        )
+    )
 
 
 def sessionize(

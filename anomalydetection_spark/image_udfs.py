@@ -124,6 +124,9 @@ class DecodeCheck(Check):
         self.name = "decode:bytes"
         self._results: DataFrame | None = None
 
+    def reset(self) -> None:
+        self._results = None
+
     def _res(self, df: DataFrame) -> DataFrame:
         if self._results is None:
             self._results = decode_results(df)

@@ -82,8 +82,12 @@ def sparse_moments(df: DataFrame, cols: list[str]) -> tuple[np.ndarray, np.ndarr
 
 def screen_columns(df: DataFrame, cols: list[str],
                    min_presence: float = 0.10) -> list[str]:
-    """Stages 1-2: drop sparse (<min_presence) and zero-variance columns
-    (utils.R:111-122) — one fused aggregation."""
+    """Stages 1-2: drop sparse and zero-variance columns (utils.R:111-122)
+    — one fused aggregation. Exact R semantics: presence must be STRICTLY
+    greater than ``min_presence`` (``count_present > nrow*.10``), and a
+    single-observation column (``var`` = NA in R, NULL here) is KEPT —
+    R's ``var_inds == 0`` comparison is NA for it, and ``names[NA] %in%``
+    matches nothing, so the reference never drops it."""
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"n_{c}"))
@@ -94,7 +98,7 @@ def screen_columns(df: DataFrame, cols: list[str],
     for c in cols:
         present = (row[f"n_{c}"] or 0) / total
         var = row[f"v_{c}"]
-        if present >= min_presence and var is not None and var > 0:
+        if present > min_presence and (var is None or var != 0):
             keep.append(c)
     return keep
 

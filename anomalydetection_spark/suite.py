@@ -131,6 +131,8 @@ class ValidationSuite:
         # is not an option at all. Opt in for small-but-remote inputs.
         spark = spark or df.sparkSession
         t0 = time.time()
+        for c in self.checks:
+            c.reset()  # drop models/caches fitted by a previous run()
         stats_df = self._stats_frame(df)
         if cache:
             stats_df = stats_df.persist()

@@ -151,3 +151,28 @@ def test_cli_run_and_resume_subprocess(spark, image_table, tmp_path):
     second = run()
     assert second["units_resumed"] == 4
     assert all(u["skipped"] for u in second["units"])
+
+
+def test_unit_col_nulls_and_typed_values(spark, tmp_path):
+    """NULL unit values get their own unit (isNull filter — col == lit(None)
+    matches nothing) and non-string unit columns filter on the typed
+    value, so every row is validated by exactly one unit."""
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [(i, i % 3 if i % 10 else None) for i in range(300)],
+        "image_id long, shard int",
+    )
+    r = CheckpointedRunner(
+        ValidationSuite([ColumnStatsCheck("image_id")], "t"), out, unit_col="shard"
+    ).run(df)
+    units = {u.unit: u.rows for u in r.units}
+    assert "shard=None" in units
+    assert units["shard=None"] == 30          # the i % 10 == 0 rows
+    assert sum(units.values()) == 300          # full partition of the input
+
+
+def test_fingerprint_refuses_empty_input(tmp_path, spark):
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no data files"):
+        input_fingerprint(spark, empty)

@@ -237,3 +237,53 @@ def test_sessionize_gap_boundary(spark):
            sessionize(df, ["user"], "ts", 3600, order_tiebreak="event_id").collect()}
     assert out[1] == 1 and out[2] == 1  # exactly-at-gap stays in session
     assert out[3] == 2                  # strictly beyond gap starts a new one
+
+
+def test_asof_join_attaches_whole_right_row(spark):
+    """A right row with a NULL in one attached column must NOT have that
+    column backfilled from an older right row: all attached values come
+    from the single matched right row (struct-packed window)."""
+    from datetime import datetime
+
+    from anomalydetection_spark.functions.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", datetime(2024, 1, 1, 12))], "event_id long, user string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", datetime(2024, 1, 1, 10), 100.0, "old"),
+         ("u", datetime(2024, 1, 1, 11), None, "new")],   # latest row, NULL val
+        "user string, ts timestamp, val double, tag string")
+    row = asof_join(left, right, on="ts", by=["user"],
+                    right_cols=["val", "tag"]).first()
+    assert row["tag"] == "new"
+    assert row["val"] is None   # genuine NULL from the matched row survives
+
+
+def test_suite_reuse_refits_model_per_run(spark):
+    """One suite instance over two units: the second run's robust-z /
+    Mahalanobis verdicts must reflect the SECOND unit's data, not unit
+    1's fitted model (checks reset() at the start of every run)."""
+    suite = ValidationSuite(
+        [RobustZScoreCheck("x", threshold=3.5, keys=["x"]),
+         MahalanobisCheck(["x", "y"], alpha=0.999, keys=["x"])], "t")
+    a = spark.createDataFrame([(float(i % 10), float(i % 7)) for i in range(500)],
+                              "x double, y double")
+    b = spark.createDataFrame([(1000.0 + (i % 10), 500.0 + (i % 7)) for i in range(500)],
+                              "x double, y double")
+    suite.run(a)
+    res_b = suite.run(b)
+    med_b = res_b.verdicts.filter("metric = 'median'").first()["value"]
+    assert med_b > 900  # unit B's own median, not unit A's ~4.5
+    # with a refit model, unit B (same shape as A, shifted) has no outliers
+    rates = {r["check"]: r["value"]
+             for r in res_b.verdicts.filter("metric = 'outlier_rate'").collect()}
+    assert all(v == 0.0 for v in rates.values())
+
+
+def test_decode_check_reset_clears_cached_results():
+    from anomalydetection_spark.image_udfs import DecodeCheck
+
+    c = DecodeCheck()
+    c._results = "sentinel"
+    c.reset()
+    assert c._results is None

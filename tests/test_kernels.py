@@ -229,3 +229,29 @@ def test_scorecard_matrix_with_totals(spark):
     assert out["fac2"]["indB"] == 3 and out["fac2"]["Total"] == 3
     t = out["Total"]
     assert (t["indA"], t["indB"], t["Total"]) == (2, 4, 6)
+
+
+def test_screen_columns_r_boundary_semantics(spark):
+    """Exact utils.R:111-122 boundaries: presence must be STRICTLY > 10%
+    (a column present in exactly 10% of rows is dropped), and a
+    single-observation column (var = NA in R) is KEPT -- names[NA] %in%
+    matches nothing, so the reference never drops it."""
+    from anomalydetection_spark.kernels.recommender import screen_columns
+
+    # n=10: 'b' present in exactly 10% of rows -> strict > drops it
+    df10 = spark.createDataFrame(
+        [(float(i), 1.0 if i < 1 else None) for i in range(10)],
+        "a double, b double",
+    )
+    assert screen_columns(df10, ["a", "b"]) == ["a"]
+
+    # n=9: 'd' has one observation (11% > 10% presence, var = NULL) -> kept;
+    # 'c' has two identical values (22% presence, var = 0) -> dropped
+    df9 = spark.createDataFrame(
+        [
+            (float(i), 5.0 if i < 2 else None, 3.0 if i == 0 else None)
+            for i in range(9)
+        ],
+        "a double, c double, d double",
+    )
+    assert screen_columns(df9, ["a", "c", "d"]) == ["a", "d"]
