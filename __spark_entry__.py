@@ -1008,6 +1008,102 @@ def o_robust_z_flags() -> str:
     """
 
 
+def q_routed_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 routed scan (``PRIME_App/server.R:678-742``: the region dropdown
+    fans out to that region's files): events identity-partitioned by
+    event_type (the Iceberg identity-partition analog on physical
+    parquet), then a two-value routing predicate that must become a
+    PartitionFilter — only the click/ and purchase/ directories are read,
+    never the other partitions (plan-guarded in tests/test_plans.py).
+    The partitioned copy is materialized once per (sf, row-count) under
+    /tmp and reused; values are identical to the flat table, which is
+    what the oracle checks."""
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{ev.count()}"
+    out = os.path.join(tempfile.gettempdir(), f"adspark_routed_events_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    routed = spark.read.parquet(out).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return routed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("users"),
+        _dsum("value").alias("sum_value"),
+    )
+
+
+def o_routed_partition_scan() -> str:
+    return """
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS users,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """
+
+
+def q_deviation_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 severity tier (``PRIME_App/utils.R:769-820``; checks/anomaly.py
+    ``severity_expr``): robust-z deviation per row, 80th/90th-percentile
+    cutoffs over the WHOLE deviation distribution (the reference melts
+    every D_ column into one vector before ``quantile(c(.8, .9))``), each
+    row tagged high (> q90) / medium (> q80) / low. Deviations are
+    rounded to 8 dp BEFORE the quantile so both engines interpolate over
+    identical inputs; the production path rides percentile_approx in the
+    fused post rounds instead of three exact-percentile scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    med = li.agg(F.expr(
+        "percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").alias("m")).first()["m"]
+    mad = li.agg(F.expr(
+        f"percentile(ABS(CAST(l_extendedprice AS DOUBLE) - {med!r}), 0.5)"
+    ).alias("m")).first()["m"]
+    dev = F.round(F.lit(0.6745) * F.abs(x - F.lit(med)) / F.lit(mad), 8)
+    tagged = li.select(F.col("l_returnflag"), dev.alias("dev"))
+    q = tagged.agg(F.expr("percentile(dev, array(0.8D, 0.9D))").alias("q")).first()["q"]
+    q80, q90 = round(float(q[0]), 8), round(float(q[1]), 8)
+    sev = (
+        F.when(F.col("dev") > F.lit(q90), F.lit("high"))
+        .when(F.col("dev") > F.lit(q80), F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    return (
+        tagged.select("l_returnflag", sev.alias("severity"))
+        .groupBy("l_returnflag", "severity")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("q80", F.lit(q80))
+        .withColumn("q90", F.lit(q90))
+    )
+
+
+def o_deviation_severity() -> str:
+    return """
+    WITH m AS (SELECT MEDIAN(CAST(l_extendedprice AS DOUBLE)) AS med FROM lineitem),
+    d AS (SELECT MEDIAN(ABS(CAST(l_extendedprice AS DOUBLE) - m.med)) AS mad
+          FROM lineitem, m),
+    devs AS (
+      SELECT l_returnflag,
+             ROUND(0.6745 * ABS(CAST(l_extendedprice AS DOUBLE) - m.med) / d.mad, 8) AS dev
+      FROM lineitem, m, d
+    ), q AS (
+      SELECT ROUND(quantile_cont(dev, 0.8), 8) AS q80,
+             ROUND(quantile_cont(dev, 0.9), 8) AS q90 FROM devs
+    )
+    SELECT l_returnflag,
+           CASE WHEN dev > q.q90 THEN 'high'
+                WHEN dev > q.q80 THEN 'medium'
+                ELSE 'low' END AS severity,
+           COUNT(*) AS n, q.q80 AS q80, q.q90 AS q90
+    FROM devs, q
+    GROUP BY 1, 2, 4, 5
+    """
+
+
 def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level salted aggregation (functions/skew.py, SURVEY.md §4.2.2):
     exact per-key counts with a hot key's rows spread over n_salt
@@ -1751,6 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_clicks": q_asof_join_clicks,
         "session_stats": q_session_stats,
         "robust_z_flags": q_robust_z_flags,
+        "deviation_severity": q_deviation_severity,
+        "routed_partition_scan": q_routed_partition_scan,
         "skew_salted_counts": q_skew_salted_counts,
         "column_stats_by_group": q_column_stats_by_group,
         "cube_stats": q_cube_stats,
@@ -1806,6 +1904,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_clicks": o_asof_join_clicks(),
         "session_stats": o_session_stats(),
         "robust_z_flags": o_robust_z_flags(),
+        "deviation_severity": o_deviation_severity(),
+        "routed_partition_scan": o_routed_partition_scan(),
         "skew_salted_counts": o_skew_salted_counts(),
         "column_stats_by_group": o_column_stats_by_group(),
         "cube_stats": o_cube_stats(),

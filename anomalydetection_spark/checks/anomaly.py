@@ -59,6 +59,7 @@ class RobustZScoreCheck(Check):
         self._slug = f"rz_{column}"
         self._median: float | None = None
         self._mad: float | None = None
+        self._sev: tuple[float, float] | None = None  # (q80, q90) of |z|
 
     def required_columns(self) -> list[str]:
         return [self.column]
@@ -66,6 +67,7 @@ class RobustZScoreCheck(Check):
     def reset(self) -> None:
         self._median = None
         self._mad = None
+        self._sev = None
 
     # fused pass: median sketch (per-partition slices get their own rows)
     def stats_exprs(self) -> list[Column]:
@@ -94,6 +96,10 @@ class RobustZScoreCheck(Check):
         return [
             F.sum((self._z() > self.threshold).cast("long")).alias(f"{self._slug}__bad"),
             F.count(self.column).alias(f"{self._slug}__n"),
+            # S7 severity cutoffs (utils.R:769-770): 80th/90th percentile
+            # of the deviation distribution, in the SAME fused round
+            F.percentile_approx(self._z(), F.array(F.lit(0.8), F.lit(0.9)),
+                                self.accuracy).alias(f"{self._slug}__sq"),
         ]
 
     def post_verdicts(self, rnd: int, stats: dict[str, Any]) -> list[dict[str, Any]]:
@@ -101,6 +107,9 @@ class RobustZScoreCheck(Check):
             mad = stats.get(f"{self._slug}__mad")
             self._mad = None if mad is None else float(mad)
             return [verdict(self.name, self.column, "mad", self._mad)]
+        sq = stats.get(f"{self._slug}__sq")
+        if sq is not None and self._sev is None:
+            self._sev = (float(sq[0]), float(sq[1]))
         bad = stats.get(f"{self._slug}__bad") or 0
         n = stats.get(f"{self._slug}__n") or 0
         rate = (bad / n) if n else 0.0
@@ -112,8 +121,14 @@ class RobustZScoreCheck(Check):
         """Standalone fit (outside a suite run)."""
         med = df.agg(*self.stats_exprs()).first()[f"{self._slug}__median"]
         self._median = float(med)
-        mad = df.agg(*self.post_exprs(0)).first()[f"{self._slug}__mad"]
-        self._mad = float(mad)
+        row = df.agg(*self.post_exprs(0)).first()
+        self._mad = float(row[f"{self._slug}__mad"])
+        sq = df.agg(
+            F.percentile_approx(self._z(), F.array(F.lit(0.8), F.lit(0.9)),
+                                self.accuracy).alias("sq")
+        ).first()["sq"]
+        if sq is not None:
+            self._sev = (float(sq[0]), float(sq[1]))
 
     def _z(self) -> Column:
         scale = 1.4826 * (self._mad if self._mad else 1e-12)
@@ -124,9 +139,25 @@ class RobustZScoreCheck(Check):
             self._fit(df)
         return (
             df.filter(self._z() > self.threshold)
-            .select(*self.keys)
+            .withColumn("severity", severity_expr(self._z(), self._sev))
+            .select(*self.keys, "severity")
             .withColumn(VIOLATION_KEY_COL, F.lit(self.name))
         )
+
+
+def severity_expr(deviation: Column, cutoffs: tuple[float, float] | None) -> Column:
+    """S7 severity tier (``PRIME_App/utils.R:769-820``): the reference
+    colors a reported cell red when its deviation exceeds the 90th
+    percentile of ALL deviation values and light-red above the 80th —
+    here the triage tier becomes an explicit column on violation rows."""
+    if cutoffs is None:
+        return F.lit(None).cast("string")
+    q80, q90 = cutoffs
+    return (
+        F.when(deviation > F.lit(q90), F.lit("high"))
+        .when(deviation > F.lit(q80), F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
 
 
 class MahalanobisCheck(Check):
@@ -158,10 +189,12 @@ class MahalanobisCheck(Check):
         self.cutoff = chi2_ppf(alpha, df_)
         self._mu: np.ndarray | None = None
         self._sinv: np.ndarray | None = None
+        self._sev: tuple[float, float] | None = None  # (q80, q90) of MD²
 
     def reset(self) -> None:
         self._mu = None
         self._sinv = None
+        self._sev = None
 
     # ---- fused-pass moment expressions -------------------------------
     def stats_exprs(self) -> list[Column]:
@@ -240,11 +273,16 @@ class MahalanobisCheck(Check):
         return [
             F.sum((self.md2_expr() > self.cutoff).cast("long")).alias(f"{self._slug}__bad"),
             F.count(F.lit(1)).alias(f"{self._slug}__nn"),
+            F.percentile_approx(self.md2_expr(), F.array(F.lit(0.8), F.lit(0.9)),
+                                1000).alias(f"{self._slug}__sq"),
         ]
 
     def post_verdicts(self, rnd: int, stats: dict[str, Any]) -> list[dict[str, Any]]:
         if self._mu is None:
             return []
+        sq = stats.get(f"{self._slug}__sq")
+        if sq is not None and self._sev is None:
+            self._sev = (float(sq[0]), float(sq[1]))
         bad = stats.get(f"{self._slug}__bad") or 0
         n = stats.get(f"{self._slug}__nn") or 0
         rate = (bad / n) if n else 0.0
@@ -259,8 +297,16 @@ class MahalanobisCheck(Check):
         if self._mu is None:
             stats = df.agg(*self.stats_exprs()).first().asDict()
             self._solve(stats)
+        if self._sev is None:
+            sq = df.agg(
+                F.percentile_approx(self.md2_expr(), F.array(F.lit(0.8), F.lit(0.9)),
+                                    1000).alias("sq")
+            ).first()["sq"]
+            if sq is not None:
+                self._sev = (float(sq[0]), float(sq[1]))
         return (
             df.filter(self.md2_expr() > self.cutoff)
-            .select(*self.keys)
+            .withColumn("severity", severity_expr(self.md2_expr(), self._sev))
+            .select(*self.keys, "severity")
             .withColumn(VIOLATION_KEY_COL, F.lit(self.name))
         )

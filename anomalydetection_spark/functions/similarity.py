@@ -47,27 +47,54 @@ def _dot(df: DataFrame, group_cols: list[str], a: str, b: str, alias: str) -> Da
     )
 
 
+def _centroid_scores(centroids: DataFrame, dim: int):
+    """Per-corpus-row sorted array of (negcos, cid, cos) centroid scores,
+    computed entirely MAP-SIDE: the C centroids (with their norms, folded
+    by the same Spark expression as every other cosine here) are collected
+    to the driver and inlined as one array-of-structs literal, so scoring
+    n×C pairs is a projection over the corpus scan — no crossJoin row
+    explosion, no Exchange. Sorting ascending by (negcos, cid) == cosine
+    DESC, cid ASC, the same total order the old per-vid ``row_number``
+    window produced by shuffling all n×C rows.
+
+    Expression budget: the literal carries C·dim float lits. IVF keeps C
+    small by design (≤ a few thousand); for C·dim beyond ~10^6 move the
+    centroid matrix into an Arrow-batched kernel instead — the plan shape
+    (map-only over the corpus) stays the same.
+    """
+    crows = _with_norm(centroids, "b", "eb", "nb2", dim).collect()
+    carr = F.array(*[
+        F.struct(
+            F.array(*[F.lit(float(x)) for x in r["eb"]]).alias("eb"),
+            F.lit(float(r["nb2"])).alias("nb2"),
+            F.lit(r["b"]).alias("cid"),
+        )
+        for r in crows
+    ])
+
+    def score(s):
+        cos = F.round(
+            _fold_dot(F.col("ea"), s["eb"], dim) / F.sqrt(F.col("na2") * s["nb2"]), 8
+        )
+        return F.struct((-cos).alias("negcos"), s["cid"].alias("cid"), cos.alias("cos"))
+
+    return F.sort_array(F.transform(carr, score))
+
+
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, bucket, cos_to_centroid): nearest centroid by cosine.
 
-    ``centroids``: (vec_id, embedding) — tiny (C rows), broadcast; the
-    corpus never shuffles. Cosines come from the deterministic per-row
-    float fold (no explode — one map stage plus the top-1 window)."""
+    ``centroids``: (vec_id, embedding) — tiny (C rows). Scoring and the
+    top-1 pick are both map-side (see ``_centroid_scores``): the corpus is
+    never shuffled and never row-multiplied ×C. Ties break on the smaller
+    centroid id, matching the oracle's ``ORDER BY cos DESC, cid ASC``."""
     dim = embedding_dim(emb)
     v = _with_norm(emb, "a", "ea", "na2", dim)
-    c = _with_norm(centroids, "b", "eb", "nb2", dim)
-    cos = F.round(
-        _fold_dot(F.col("ea"), F.col("eb"), dim) / F.sqrt(F.col("na2") * F.col("nb2")), 8
-    )
-    pairs = v.crossJoin(F.broadcast(c)).select(
-        F.col("a").alias("vid"), F.col("b").alias("cid"), cos.alias("cos")
-    )
-    w = Window.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cid"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(F.col("vid").alias("vec_id"), F.col("cid").alias("bucket"),
-                F.col("cos").alias("cos_to_centroid"))
+    best = F.element_at(_centroid_scores(centroids, dim), 1)
+    return v.select(
+        F.col("a").alias("vec_id"),
+        best["cid"].alias("bucket"),
+        best["cos"].alias("cos_to_centroid"),
     )
 
 
@@ -225,21 +252,17 @@ def cosine_near_dup_lsh(emb: DataFrame, spark, threshold: float,
 def ivf_probe_buckets(emb: DataFrame, centroids: DataFrame,
                       nprobe: int) -> DataFrame:
     """(vec_id, bucket) — each vector's ``nprobe`` nearest centroid
-    buckets (probe list). nprobe=1 degenerates to ivf_assign's bucket."""
+    buckets (probe list). nprobe=1 degenerates to ivf_assign's bucket.
+
+    Map-side like ``ivf_assign``: the sorted score array is sliced to its
+    first ``nprobe`` entries and exploded — a narrow ≤nprobe-row fan-out,
+    not a shuffle of n×C scored pairs."""
     dim = embedding_dim(emb)
     v = _with_norm(emb, "a", "ea", "na2", dim)
-    c = _with_norm(centroids, "b", "eb", "nb2", dim)
-    cos = F.round(
-        _fold_dot(F.col("ea"), F.col("eb"), dim) / F.sqrt(F.col("na2") * F.col("nb2")), 8
-    )
-    pairs = v.crossJoin(F.broadcast(c)).select(
-        F.col("a").alias("vec_id"), F.col("b").alias("bucket"), cos.alias("cos")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("bucket"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= nprobe)
-        .select("vec_id", "bucket")
+    top = F.slice(_centroid_scores(centroids, dim), 1, nprobe)
+    return v.select(
+        F.col("a").alias("vec_id"),
+        F.explode(F.transform(top, lambda s: s["cid"])).alias("bucket"),
     )
 
 

@@ -176,14 +176,36 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                        max_hamming: int = 3, scope: Column | None = None) -> DataFrame:
     """(id_a, id_b, hamming) pairs with bit_count(xor) ≤ max_hamming.
 
-    The pair join here is scoped (caller bounds it); the scale path
-    buckets by signature bytes first (each ≤k-bit-different pair shares
-    ≥1 exact byte — pigeonhole) so the join stays equi."""
+    Pigeonhole candidate generation (exact — recall 1.0): split the
+    16-bit signature into ``max_hamming + 1`` disjoint segments; a pair
+    within k bit flips cannot touch every segment, so it agrees EXACTLY
+    on at least one — an equi-self-join on (segment_idx, segment_value)
+    finds every such pair without the O(n²) ``id_a < id_b`` nested loop.
+    Candidates are deduped, then verified with the exact popcount. Hot
+    (seg, val) buckets (e.g. boilerplate-heavy corpora collapsing to one
+    signature) are plain shuffle keys — AQE skew-join splits them."""
     s = simhash(docs if scope is None else docs.filter(scope), id_col)
-    a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
-    b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    nseg = max_hamming + 1
+    bounds = [SIMHASH_BITS * j // nseg for j in range(nseg + 1)]
+    segs = F.array(*[
+        F.struct(
+            F.lit(j).alias("seg"),
+            F.shiftright("simhash", bounds[j])
+            .bitwiseAND((1 << (bounds[j + 1] - bounds[j])) - 1)
+            .alias("val"),
+        )
+        for j in range(nseg)
+    ])
+    e = s.select("id", "simhash", F.explode(segs).alias("sv")).select(
+        "id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.val").alias("val")
+    )
+    a = e.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"), "seg", "val")
+    b = e.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"), "seg", "val")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["seg", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()  # a pair may agree on several segments
         .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -221,13 +221,21 @@ def run_rec_analysis(
     estimates_for_flagged_only: bool = True,
     collinearity: str | None = "drop",
     collinear_cutoff: float | None = None,
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """Full K1 pipeline. Returns keys + x + E_/D_ + MD + outlier_sp.
 
     ``collinearity``: stage-3 handling — ``'drop'`` (App variant,
     iterative signed-r>cutoff drop, default 0.95), ``'noise'`` (PRIME
     variant, seeded noise into findCorrelation-flagged columns, default
-    cutoff 0.99), or None to skip."""
+    cutoff 0.99), or None to skip.
+
+    ``salt_buckets``: the scoring shuffle keys on (pattern, salt), not
+    the missingness pattern alone — on dense data ONE pattern holds ~all
+    rows and an unsalted groupBy would land the whole table on a single
+    task. Scoring is row-independent given the pattern, so salting is
+    output-identical while spreading each pattern over ``salt_buckets``
+    tasks."""
     cols = screen_columns(df, indicator_cols, min_presence)
     if collinearity == "drop" and len(cols) > 1:
         cols = screen_collinear_drop(df, cols, collinear_cutoff or 0.95)
@@ -297,7 +305,7 @@ def run_rec_analysis(
         rows_to_estimate = np.where(flag == 1)[0] if flagged_only else np.arange(len(X))
         for j_pos, j in enumerate(obs):
             others = [o for o in obs if o != j]
-            if not others:
+            if not others or not rows_to_estimate.size:
                 continue
             o_pos = [obs.index(o) for o in others]
             Ryy = R_b[np.ix_(others, others)]
@@ -307,11 +315,14 @@ def run_rec_analysis(
             except np.linalg.LinAlgError:
                 Ryy_inv = np.linalg.pinv(Ryy)
             w = Rjy @ Ryy_inv
-            for r in rows_to_estimate:
-                y = Xo[r, o_pos] - mu_b[others]
-                E[r, j] = float(w @ y + mu_b[j])
-                denom = R_b[j, j] if R_b[j, j] else np.nan
-                D[r, j] = abs(E[r, j] - X[r, j]) / denom
+            # one matrix product per (pattern, j) — not a Python loop per
+            # row (flagged rows can be O(rows) at alpha→0)
+            Y = Xo[np.ix_(rows_to_estimate, o_pos)] - mu_b[others]
+            E[rows_to_estimate, j] = Y @ w + mu_b[j]
+            denom = R_b[j, j] if R_b[j, j] else np.nan
+            D[rows_to_estimate, j] = (
+                np.abs(E[rows_to_estimate, j] - X[rows_to_estimate, j]) / denom
+            )
 
         out = pdf[keys].copy()
         for i, c in enumerate(cols):
@@ -324,5 +335,46 @@ def run_rec_analysis(
         out["outlier_sp"] = flag
         return out
 
-    scored = tagged.groupBy("__pattern").applyInPandas(score, out_schema)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in keys]), F.lit(salt_buckets))
+    scored = (
+        tagged.withColumn("__salt", salt)
+        .groupBy("__pattern", "__salt")
+        .applyInPandas(score, out_schema)
+    )
     return scored.orderBy(F.desc("outlier_sp"), F.desc("MD"))
+
+
+def deviation_severity_cells(scored: DataFrame, keys: list[str],
+                             cols: list[str]) -> DataFrame:
+    """S7 cell-level severity (``PRIME_App/utils.R:762-827``): the
+    reference conditionally formats each reported indicator cell by its
+    deviation ``D_<c>`` against the 80th/90th percentile of ALL deviation
+    values (one melted distribution across every D_ column — utils.R:769),
+    with a no-fill override when the estimate ``E_<c>`` is below 10
+    (utils.R:822-826, "small estimates are noise").
+
+    Re-expressed as data, not formatting: unpivot (reported, E_, D_) cell
+    triples, compute the two global cutoffs with exact ``percentile``
+    (linear interpolation — R default type-7 ``quantile``), and tag each
+    cell ``none`` (masked) / ``high`` (> q90) / ``medium`` (> q80) /
+    ``low``. The reference's Excel rule-priority quirk (all three
+    conditionalFormatting rules can match one cell) is resolved to the
+    documented intent: mask first, then the higher tier wins."""
+    stack = ", ".join(f"'{c}', `{c}`, `E_{c}`, `D_{c}`" for c in cols)
+    melted = scored.selectExpr(
+        *keys,
+        f"stack({len(cols)}, {stack}) as (indicator, reported, estimate, deviation)",
+    )
+    q = melted.agg(
+        F.percentile("deviation", F.array(F.lit(0.8), F.lit(0.9))).alias("q")
+    ).first()["q"]
+    if q is None or q[0] is None:
+        sev = F.lit(None).cast("string")
+    else:
+        sev = (
+            F.when(F.col("estimate") < 10, F.lit("none"))
+            .when(F.col("deviation") > F.lit(float(q[1])), F.lit("high"))
+            .when(F.col("deviation") > F.lit(float(q[0])), F.lit("medium"))
+            .otherwise(F.lit("low"))
+        )
+    return melted.withColumn("severity", sev)

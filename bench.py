@@ -86,6 +86,12 @@ def main() -> None:
     suite_meta = time_image_suite(spark, meta_path, with_decode=False)
     suite_decode = time_image_suite(spark, pay_path, with_decode=True)
 
+    # warm pass first (contract-permitted): every query compiles its own
+    # codegen and touches its own parquet footers — a cold JVM otherwise
+    # charges ~25s of one-time JIT/IO to whichever queries run first
+    for name, fn in entry.queries().items():
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     per_query: dict[str, float] = {}
     for name, fn in entry.queries().items():
         t0 = time.perf_counter()

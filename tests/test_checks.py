@@ -287,3 +287,60 @@ def test_decode_check_reset_clears_cached_results():
     c._results = "sentinel"
     c.reset()
     assert c._results is None
+
+
+def test_violations_carry_severity_tier(spark, images):
+    """S7 (utils.R:769-820): robust-z / Mahalanobis violation rows ship
+    with a severity triage column from the 80th/90th-percentile deviation
+    cutoffs; cutoffs ride the fused post rounds (no extra scan)."""
+    res = ValidationSuite(
+        [RobustZScoreCheck("w", threshold=10.0, keys=["image_id"]),
+         MahalanobisCheck(["w", "h"], alpha=0.999, keys=["image_id"])], "images"
+    ).run(images)
+    v = res.violations.toPandas()
+    assert "severity" in v.columns
+    flagged = v[v["_check"].str.startswith("robust_z")]
+    assert len(flagged) and set(flagged["severity"]) <= {"high", "medium", "low"}
+    # the planted extreme outlier sits far beyond the 90th pct of |z|
+    assert flagged[flagged["image_id"] == "img_9997"]["severity"].iloc[0] == "high"
+
+
+def test_k1_cell_severity_tiers_and_estimate_mask(spark):
+    import numpy as np
+    import pandas as pd
+
+    from anomalydetection_spark.kernels.recommender import (
+        deviation_severity_cells,
+        run_rec_analysis,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 120
+    base = rng.normal(0, 1, n)
+    # D_<c> = |E-x| / R_jj inflates small-variance indicators, so the
+    # masked (estimate < 10) indicator gets LARGE variance and an
+    # unmasked one a tight scale — high tiers must land on unmasked cells
+    X = np.column_stack([
+        50 + 10 * base + rng.normal(0, 2, n),
+        30 + 0.5 * base + rng.normal(0, 0.3, n),
+        5 + 8 * rng.normal(0, 1, n),             # small-estimate indicator
+    ])
+    X[0] = [130, 25, 5]  # gross outlier in i2's tight scale
+    pdf = pd.DataFrame(X, columns=["i1", "i2", "i3"])
+    pdf.insert(0, "site", [f"s{i}" for i in range(n)])
+    scored = run_rec_analysis(
+        spark.createDataFrame(pdf), ["site"], ["i1", "i2", "i3"],
+        alpha=0.95, min_row_obs=2, estimates_for_flagged_only=False,
+    )
+    cells = deviation_severity_cells(scored, ["site"], ["i1", "i2", "i3"]).toPandas()
+    assert set(cells.columns) == {"site", "indicator", "reported", "estimate",
+                                  "deviation", "severity"}
+    by_sev = cells.groupby("severity").size().to_dict()
+    assert by_sev.get("high", 0) > 0 and by_sev.get("low", 0) > 0
+    # estimate < 10 masks the cell regardless of deviation (utils.R:822)
+    masked = cells[cells["estimate"] < 10]
+    assert len(masked) and (masked["severity"] == "none").all()
+    # ~top decile of deviations is 'high' (global melt cutoffs)
+    dev = cells["deviation"].dropna()
+    hi = cells[cells["severity"] == "high"]["deviation"]
+    assert (hi > dev.quantile(0.9) - 1e-9).all()

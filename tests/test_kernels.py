@@ -255,3 +255,28 @@ def test_screen_columns_r_boundary_semantics(spark):
         "a double, c double, d double",
     )
     assert screen_columns(df9, ["a", "c", "d"]) == ["a", "d"]
+
+
+def test_rec_scoring_salt_spreads_dense_pattern_and_preserves_output(spark, rec_data):
+    """Dense data is ONE missingness pattern: unsalted, the whole table
+    would land on a single scoring task. The salted shuffle key must
+    spread it across many groups while producing identical output."""
+    import pyspark.sql.functions as F2
+
+    X = rec_data.copy()
+    X[5, 2] = 0.0  # remove the sparse row -> a fully dense single pattern
+    df = _to_df(spark, X)
+    # the salt key genuinely partitions the single pattern
+    n_salts = (
+        df.select(F2.pmod(F2.xxhash64("site"), F2.lit(64)).alias("s"))
+        .distinct().count()
+    )
+    assert n_salts > 8
+
+    args = (["site"], ["i1", "i2", "i3", "i4"])
+    kw = dict(alpha=0.95, min_row_obs=3)
+    a = run_rec_analysis(df, *args, **kw, salt_buckets=1).toPandas()
+    b = run_rec_analysis(df, *args, **kw, salt_buckets=64).toPandas()
+    a = a.sort_values("site").reset_index(drop=True)
+    b = b.sort_values("site").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -119,3 +119,34 @@ def test_ivf_probe_join_broadcasts_query_side(spark):
     centroids = emb.filter(F2.col("vec_id") < 4)
     plan = plan_of(ivf_topk(emb, centroids, lambda v: v < 8, k=3))
     assert "BroadcastExchange" in plan  # query side is broadcast by construction
+
+
+def test_ivf_assignment_is_map_side_no_exchange(spark):
+    """Centroid assignment must not shuffle the n×C pair set: scoring and
+    the top-1/top-p pick are a projection over the corpus scan (centroids
+    inlined as a literal), so the whole plan is Exchange-free."""
+    import pyspark.sql.functions as F2
+
+    from anomalydetection_spark.functions.similarity import (
+        ivf_assign,
+        ivf_probe_buckets,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.filter(F2.col("vec_id") < 4)
+    for df in (ivf_assign(emb, centroids), ivf_probe_buckets(emb, centroids, 2)):
+        plan = plan_of(df)
+        assert "Exchange" not in plan
+        assert "Window" not in plan
+
+
+def test_routed_partition_scan_prunes_partitions(spark):
+    """S2 routed scan: the event_type routing predicate must reach the
+    scan as a PartitionFilter (only the routed directories are read)."""
+    import __spark_entry__ as E
+
+    df = E.q_routed_partition_scan(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    seg = plan[plan.index("PartitionFilters"):]
+    seg = seg[:seg.index("\n")]
+    assert "click" in seg and "purchase" in seg

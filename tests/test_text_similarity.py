@@ -156,3 +156,30 @@ def test_ivf_multiprobe_recall_monotone(spark):
     rows2 = {(r["qid"], r["rk"]): r["cosine"]
              for r in ivf_topk(emb, centroids, pred, k=3, nprobe=2).collect()}
     assert all(rows2[key] >= rows1[key] - 1e-12 for key in rows1 if key in rows2)
+
+
+def test_simhash_pigeonhole_matches_bruteforce_and_is_equi_join(spark):
+    """The segment-bucketed candidate path is EXACT (any pair within k
+    bit flips shares one untouched segment), so it must reproduce the
+    brute-force pair set for every k — and its join must be an equi-join,
+    not a nested loop over id_a < id_b."""
+    import pyspark.sql.functions as F2
+
+    from anomalydetection_spark.functions.text import simhash, simhash_near_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    sigs = {r["id"]: r["simhash"] for r in simhash(d).collect()}
+    for k in (0, 2, 3):
+        expect = {
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for a in sigs for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= k
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_pairs(d, max_hamming=k).collect()
+        }
+        assert got == expect, f"k={k}"
+
+    plan = simhash_near_pairs(d, max_hamming=3)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
