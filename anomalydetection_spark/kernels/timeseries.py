@@ -14,16 +14,23 @@ Stage map (R nested split() loops → ONE grouped-map pandas UDF):
   2. na.trim(sides='left') + na_interpolation(linear) (:469-471)
   3. three h=1 forecasts with 99% PIs (:474-532). The reference fits
      stlf-ARIMA / stlf-ETS / auto.arima from the `forecast` package;
-     this engine ships dependency-free deterministic analogs with the
-     same decomposition structure (seasonal + trend + innovation):
-       * ``snaive``  — seasonal naive, PI from seasonal-diff residuals
-       * ``hw``      — additive Holt-Winters (fixed smoothing), PI from
-                        one-step in-sample residuals
-       * ``ar1``     — AR(1)-with-drift on the deseasonalized series
+     the container has no statsmodels/scipy, so this engine ships
+     dependency-free deterministic analogs with the reference's exact
+     decomposition STRUCTURE — ``stlf`` = decompose, forecast the
+     seasonally-adjusted series, re-add the seasonal component:
+       * ``stl_arima`` — classical additive decomposition (centered
+         2×m MA trend, per-season detrended means), AR(1)-with-drift
+         h=1 forecast of the adjusted series + seasonal index; PI from
+         one-step in-sample residuals of the adjusted fit
+       * ``stl_ets``   — same decomposition, Holt's linear (additive
+         ETS(A,A,N), fixed smoothing) on the adjusted series
+       * ``arima``     — auto.arima analog: AR(1)+drift on the
+         seasonal difference (seasonal=TRUE counterpart)
      ``compat_pred_reuse=True`` reproduces the reference bug where the
-     ARIMA branch reports the preceding stlf forecast's point estimate
-     (utils.R:535) — our third model's point pred is overwritten by the
-     first's.
+     ARIMA branch reports a stale point estimate: the second ``stlf``
+     call OVERWRITES ``stlf_arima_forecast`` (utils.R:503), so the
+     arima branch's ``pred`` (:535) is the stl-ETS mean — the bands
+     stay arima's own.
   4. outlier iff actual present ∧ outside [lo99, hi99] ∧ |actual−pred| >
      min_thresh (:493-497); deviation = gap/(hi−lo) (:581-588)
   5. eligibility gate: ≥``min_recent`` of the last 12 periods present
@@ -121,7 +128,76 @@ def _ar1_drift(y: np.ndarray, m: int) -> tuple[float, float]:
     return pred, _sd_floor(pred, sd)
 
 
-MODELS = ("snaive", "hw", "ar1")
+def _stl_decompose(y: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Classical additive decomposition (the deterministic skeleton of
+    STL): centered 2×m moving-average trend, seasonal indices as the
+    per-season means of the detrended series normalized to sum 0.
+    Returns (seasonal_index[m], seasonally_adjusted_series)."""
+    n = len(y)
+    w = np.full(m + 1, 1.0 / m)
+    w[0] = w[-1] = 0.5 / m
+    trend = np.convolve(y, w, mode="valid")          # length n - m
+    off = m // 2                                      # trend[i] ~ y[i + off]
+    detr = y[off:off + len(trend)] - trend
+    seas = np.array([
+        np.mean(detr[(np.arange(len(detr)) + off) % m == s])
+        if np.any((np.arange(len(detr)) + off) % m == s) else 0.0
+        for s in range(m)
+    ])
+    seas -= seas.mean()
+    return seas, y - seas[np.arange(n) % m]
+
+
+def _ar1_on(a: np.ndarray) -> tuple[float, float]:
+    """AR(1)+drift h=1 forecast + residual sd on a 1-D series."""
+    if len(a) < 4 or np.allclose(np.var(a[:-1]), 0):
+        pred = float(a[-1] + (np.mean(np.diff(a)) if len(a) > 1 else 0.0))
+        sd = float(np.std(np.diff(a), ddof=1)) if len(a) > 2 else 0.0
+        return pred, sd
+    x, yy = a[:-1], a[1:]
+    phi = float(np.cov(x, yy, ddof=1)[0, 1] / np.var(x, ddof=1))
+    # clip at ±1 (not 0.99): phi = 1 is the random-walk-with-drift fit,
+    # which continues an exact trend line exactly; one-step forecasts
+    # from a mildly explosive fit are safe, so only the sign bound matters
+    phi = max(min(phi, 1.0), -1.0)
+    c = float(np.mean(yy) - phi * np.mean(x))
+    resid = yy - (c + phi * x)
+    sd = float(np.std(resid, ddof=1)) if len(resid) > 1 else 0.0
+    return c + phi * float(a[-1]), sd
+
+
+def _holt_linear(a: np.ndarray, alpha: float = 0.3,
+                 beta: float = 0.1) -> tuple[float, float]:
+    """Holt's linear trend (additive ETS(A,A,N), fixed smoothing) h=1
+    forecast + one-step residual sd."""
+    if len(a) < 3:
+        return float(a[-1]), (float(np.std(np.diff(a), ddof=1))
+                              if len(a) > 2 else 0.0)
+    level, trend = float(a[0]), float(a[1] - a[0])
+    resid = []
+    for t in range(1, len(a)):
+        pred = level + trend
+        resid.append(a[t] - pred)
+        new_level = alpha * a[t] + (1 - alpha) * (level + trend)
+        trend = beta * (new_level - level) + (1 - beta) * trend
+        level = new_level
+    sd = float(np.std(resid, ddof=1)) if len(resid) > 1 else 0.0
+    return level + trend, sd
+
+
+def _stl_forecast(y: np.ndarray, m: int, method: str) -> tuple[float, float]:
+    """stlf analog (utils.R:474-511): decompose, forecast the adjusted
+    series with ``method`` ('arima' → AR(1)+drift, 'ets' → Holt linear),
+    re-add the target period's seasonal index."""
+    if len(y) < 2 * m + 1:
+        return _snaive(y, m)  # too short to estimate a seasonal pattern
+    seas, adj = _stl_decompose(y, m)
+    pred_a, sd = _ar1_on(adj) if method == "arima" else _holt_linear(adj)
+    pred = float(pred_a + seas[len(y) % m])
+    return pred, _sd_floor(pred, sd)
+
+
+MODELS = ("stl_arima", "stl_ets", "arima")
 
 
 def run_time_series(
@@ -166,12 +242,14 @@ def run_time_series(
         hist = hist[ok[0]:]  # na.trim left
         hist = _interp(hist)
         fits = {
-            "snaive": _snaive(hist, season),
-            "hw": _holt_winters(hist, season),
-            "ar1": _ar1_drift(hist, season),
+            "stl_arima": _stl_forecast(hist, season, "arima"),
+            "stl_ets": _stl_forecast(hist, season, "ets"),
+            "arima": _ar1_drift(hist, season),
         }
-        if compat_pred_reuse:  # utils.R:535 — arima reports stlf's mean
-            fits["ar1"] = (fits["snaive"][0], fits["ar1"][1])
+        if compat_pred_reuse:
+            # utils.R:535 — the arima branch reads the overwritten
+            # stlf_arima_forecast variable, i.e. the stl-ETS mean
+            fits["arima"] = (fits["stl_ets"][0], fits["arima"][1])
         rows = []
         for model in MODELS:
             pred, sd = fits[model]

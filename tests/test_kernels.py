@@ -163,7 +163,9 @@ def test_compat_pred_reuse_quirk(spark, ts_data):
         compat_pred_reuse=True,
     ).toPandas()
     a = out[out["facility"] == "facA"].set_index("model")
-    assert a.loc["ar1", "pred"] == a.loc["snaive", "pred"]  # utils.R:535
+    # utils.R:503 overwrites stlf_arima_forecast with the ets fit, so the
+    # arima branch's pred (:535) is the stl-ETS mean
+    assert a.loc["arima", "pred"] == a.loc["stl_ets", "pred"]
 
 
 def test_collinearity_drop_variant(spark):
@@ -280,3 +282,42 @@ def test_rec_scoring_salt_spreads_dense_pattern_and_preserves_output(spark, rec_
     a = a.sort_values("site").reset_index(drop=True)
     b = b.sort_values("site").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_stl_forecast_recovers_exact_seasonal_line():
+    """Analytic golden: y[t] = a + b*t + s[t % 4] (noise-free). The
+    centered 2x4 MA of a linear trend is the trend itself, so classical
+    decomposition recovers s exactly, the adjusted series is an exact
+    line, and both stlf analogs must predict the true continuation."""
+    import numpy as np
+
+    from anomalydetection_spark.kernels.timeseries import _stl_forecast
+
+    a0, b, s = 100.0, 0.5, np.array([6.0, -2.0, -10.0, 6.0])
+    t = np.arange(24)
+    y = a0 + b * t + s[t % 4]
+    truth = a0 + b * 24 + s[24 % 4]
+    for method in ("arima", "ets"):
+        pred, sd = _stl_forecast(y, 4, method)
+        np.testing.assert_allclose(pred, truth, rtol=1e-6)
+        assert sd < 1e-3  # bands collapse to the floor on an exact pattern
+
+
+def test_stl_band_width_from_known_noise():
+    """Band sd on a seasonal line with aperiodic ~N(0, e) innovations
+    (a PERIODIC perturbation would be absorbed into the seasonal
+    component): one-step residuals of the adjusted fit inherit the
+    innovation scale, so the 99% band must be O(e) — neither collapsed
+    nor inflated."""
+    import numpy as np
+
+    from anomalydetection_spark.kernels.timeseries import _stl_forecast
+
+    e = 2.0
+    rng = np.random.default_rng(42)
+    t = np.arange(48)
+    y = 50.0 + 1.0 * t + np.array([8.0, 0.0, -8.0, 0.0])[t % 4] \
+        + rng.normal(0.0, e, len(t))
+    for method in ("arima", "ets"):
+        _, sd = _stl_forecast(y, 4, method)
+        assert 0.4 * e < sd < 3 * e, (method, sd)
