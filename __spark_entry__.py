@@ -1060,13 +1060,18 @@ def q_deviation_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("l_extendedprice").cast("double")
     med = li.agg(F.expr(
         "percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").alias("m")).first()["m"]
-    mad = li.agg(F.expr(
-        f"percentile(ABS(CAST(l_extendedprice AS DOUBLE) - {med!r}), 0.5)"
-    ).alias("m")).first()["m"]
+    # dev = 0.6745·|x−med|/mad is MONOTONE in |x−med|, so the MAD and the
+    # dev-quantile cutoffs come from ONE percentile pass over |x−med|
+    # (linear interpolation commutes with the linear rescale)
+    q = li.agg(F.expr(
+        f"percentile(ABS(CAST(l_extendedprice AS DOUBLE) - {med!r}),"
+        " array(0.5D, 0.8D, 0.9D))"
+    ).alias("q")).first()["q"]
+    mad = float(q[0])
     dev = F.round(F.lit(0.6745) * F.abs(x - F.lit(med)) / F.lit(mad), 8)
     tagged = li.select(F.col("l_returnflag"), dev.alias("dev"))
-    q = tagged.agg(F.expr("percentile(dev, array(0.8D, 0.9D))").alias("q")).first()["q"]
-    q80, q90 = round(float(q[0]), 8), round(float(q[1]), 8)
+    q80 = round(0.6745 * float(q[1]) / mad, 8)
+    q90 = round(0.6745 * float(q[2]) / mad, 8)
     sev = (
         F.when(F.col("dev") > F.lit(q90), F.lit("high"))
         .when(F.col("dev") > F.lit(q80), F.lit("medium"))
@@ -1084,15 +1089,17 @@ def q_deviation_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_deviation_severity() -> str:
     return """
     WITH m AS (SELECT MEDIAN(CAST(l_extendedprice AS DOUBLE)) AS med FROM lineitem),
-    d AS (SELECT MEDIAN(ABS(CAST(l_extendedprice AS DOUBLE) - m.med)) AS mad
+    d AS (SELECT quantile_cont(ABS(CAST(l_extendedprice AS DOUBLE) - m.med), 0.5) AS mad,
+                 quantile_cont(ABS(CAST(l_extendedprice AS DOUBLE) - m.med), 0.8) AS a80,
+                 quantile_cont(ABS(CAST(l_extendedprice AS DOUBLE) - m.med), 0.9) AS a90
           FROM lineitem, m),
     devs AS (
       SELECT l_returnflag,
              ROUND(0.6745 * ABS(CAST(l_extendedprice AS DOUBLE) - m.med) / d.mad, 8) AS dev
       FROM lineitem, m, d
     ), q AS (
-      SELECT ROUND(quantile_cont(dev, 0.8), 8) AS q80,
-             ROUND(quantile_cont(dev, 0.9), 8) AS q90 FROM devs
+      SELECT ROUND(0.6745 * d.a80 / d.mad, 8) AS q80,
+             ROUND(0.6745 * d.a90 / d.mad, 8) AS q90 FROM d
     )
     SELECT l_returnflag,
            CASE WHEN dev > q.q90 THEN 'high'
