@@ -1008,6 +1008,48 @@ def o_robust_z_flags() -> str:
     """
 
 
+def q_ivf_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF training step (functions/similarity.py ivf_centroid_update):
+    one Lloyd iteration — map-side nearest-centroid assignment, exact
+    element-wise bucket means through the single (bucket, pos) shuffle.
+    Gated in melted form (scalar columns hash engine-independently)."""
+    from anomalydetection_spark.functions.similarity import ivf_centroid_update
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    return ivf_centroid_update(emb, centroids, melted=True)
+
+
+def o_ivf_centroid_update() -> str:
+    return """
+    WITH cdots AS (
+      SELECT v.vec_id AS vid, c.vec_id AS cid,
+             ROUND(
+               list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / SQRT(
+                   list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))
+                 * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               ), 8) AS cos
+      FROM embeddings v JOIN embeddings c ON c.vec_id < 8
+    ), assign AS (
+      SELECT vid AS vec_id, cid AS bucket FROM (
+        SELECT vid, cid,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, cid ASC) rk
+        FROM cdots
+      ) WHERE rk = 1
+    ), elems AS (
+      SELECT a.bucket,
+             generate_subscripts(CAST(e.embedding AS DOUBLE[]), 1) - 1 AS pos,
+             unnest(CAST(e.embedding AS DOUBLE[])) AS val
+      FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+    )
+    SELECT bucket, pos,
+           ROUND(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 8) AS mean,
+           COUNT(*) AS n
+    FROM elems GROUP BY bucket, pos
+    """
+
+
 def q_routed_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 routed scan (``PRIME_App/server.R:678-742``: the region dropdown
     fans out to that region's files): events identity-partitioned by
@@ -1856,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_z_flags": q_robust_z_flags,
         "deviation_severity": q_deviation_severity,
         "routed_partition_scan": q_routed_partition_scan,
+        "ivf_centroid_update": q_ivf_centroid_update,
         "skew_salted_counts": q_skew_salted_counts,
         "column_stats_by_group": q_column_stats_by_group,
         "cube_stats": q_cube_stats,
@@ -1913,6 +1956,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_z_flags": o_robust_z_flags(),
         "deviation_severity": o_deviation_severity(),
         "routed_partition_scan": o_routed_partition_scan(),
+        "ivf_centroid_update": o_ivf_centroid_update(),
         "skew_salted_counts": o_skew_salted_counts(),
         "column_stats_by_group": o_column_stats_by_group(),
         "cube_stats": o_cube_stats(),

@@ -306,3 +306,44 @@ def ivf_topk(emb: DataFrame, centroids: DataFrame, query_pred,
         .filter(F.col("rk") <= k)
         .select("qid", "cid", "cosine", "rk", "bucket")
     )
+
+
+def ivf_centroid_update(emb: DataFrame, centroids: DataFrame,
+                        melted: bool = False) -> DataFrame:
+    """One Lloyd iteration of IVF centroid training: assign every vector
+    to its nearest current centroid (MAP-SIDE — see ``_centroid_scores``;
+    the corpus is neither joined nor row-multiplied), then each bucket's
+    new centroid is the element-wise mean of its members.
+
+    The only shuffle is the (bucket, pos) partial-aggregated element sum
+    — n·d narrow rows that combine map-side to ≤ C·d partials per task.
+    Sums are exact decimals (order-insensitive across the shuffle merge),
+    so any engine reproduces the means bit-for-bit. Iterate k-means by
+    feeding the result back as ``centroids``.
+
+    Returns (bucket, embedding array<double>, n) — or, with
+    ``melted=True``, the flat (bucket, pos, mean, n) form."""
+    dim = embedding_dim(emb)
+    v = _with_norm(emb, "vec_id", "ea", "na2", dim)
+    best = F.element_at(_centroid_scores(centroids, dim), 1)
+    tagged = v.select(best["cid"].alias("bucket"), F.col("ea").alias("emb"))
+    means = (
+        tagged.select("bucket", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("bucket", "pos")
+        .agg(
+            F.sum(F.col("val").cast("double").cast("decimal(28,12)"))
+            .cast("double").alias("s"),
+            F.count("val").alias("n"),
+        )
+        .select(
+            "bucket", "pos",
+            F.round(F.col("s") / F.col("n"), 8).alias("mean"), "n",
+        )
+    )
+    if melted:
+        return means
+    packed = F.sort_array(F.collect_list(F.struct("pos", "mean")))
+    return means.groupBy("bucket").agg(
+        F.transform(packed, lambda x: x["mean"]).alias("embedding"),
+        F.max("n").alias("n"),
+    )

@@ -183,3 +183,50 @@ def test_simhash_pigeonhole_matches_bruteforce_and_is_equi_join(spark):
 
     plan = simhash_near_pairs(d, max_hamming=3)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_ivf_centroid_update_converges_to_cluster_means(spark):
+    """Two Lloyd iterations on a two-cluster corpus: assignments stabilize
+    and the packed centroids converge to the per-cluster element means.
+    The assignment stage must stay map-side (one Exchange total — the
+    (bucket, pos) mean aggregation)."""
+    import numpy as np
+
+    from anomalydetection_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroid_update,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for vid in range(40):
+        axis = vid % 2
+        v = rng.normal(0, 0.05, 8)
+        v[axis] += 10.0
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # deliberately bad init: both seeds from cluster 0's first vectors
+    init = emb.filter(F.col("vec_id").isin(0, 2))
+
+    c1 = ivf_centroid_update(emb, init).withColumnRenamed("bucket", "vec_id")
+    c2 = ivf_centroid_update(emb, c1).withColumnRenamed("bucket", "vec_id")
+    got = {r["vec_id"]: np.array(r["embedding"]) for r in c2.collect()}
+
+    X = np.array([r[1] for r in rows])
+    for cid, centroid in got.items():
+        # every converged centroid matches the mean of the cluster it
+        # captured (within the round-8 the operator applies)
+        lab = int(np.argmax(centroid[:2]))
+        expect = X[np.arange(40) % 2 == lab].mean(axis=0)
+        np.testing.assert_allclose(centroid, expect, atol=1e-6)
+
+    # assignments under the trained centroids separate the two clusters
+    assign = ivf_assign(emb, c2.select("vec_id", "embedding"))
+    buckets = {r["vec_id"]: r["bucket"] for r in assign.collect()}
+    groups = {}
+    for vid, b in buckets.items():
+        groups.setdefault(b, set()).add(vid % 2)
+    assert all(len(g) == 1 for g in groups.values())
+
+    plan = ivf_centroid_update(emb, init)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read), no join/window
