@@ -176,3 +176,21 @@ def test_fingerprint_refuses_empty_input(tmp_path, spark):
     os.makedirs(empty)
     with pytest.raises(ValueError, match="no data files"):
         input_fingerprint(spark, empty)
+
+
+def test_sink_violations_carry_severity_column(spark, image_table, tmp_path):
+    """S7: the checkpointed violations sink ships the severity triage
+    tier for anomaly-score checks."""
+    from anomalydetection_spark.checks import RobustZScoreCheck
+
+    out = str(tmp_path / "out")
+    suite = ValidationSuite(
+        [RobustZScoreCheck("w", threshold=3.0, keys=["image_id"])], "images"
+    )
+    CheckpointedRunner(suite, out, bucket_key="image_id", n_buckets=2).run(
+        spark.read.parquet(image_table), input_path=image_table
+    )
+    v = spark.read.parquet(os.path.join(out, "violations"))
+    assert "severity" in v.columns
+    vals = {r["severity"] for r in v.select("severity").distinct().collect()}
+    assert vals and vals <= {"high", "medium", "low", None}
