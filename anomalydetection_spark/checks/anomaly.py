@@ -84,32 +84,32 @@ class RobustZScoreCheck(Check):
         return [verdict(self.name, self.column, "median",
                         None if med is None else float(med))]
 
-    # post round 0: MAD given median · post round 1: flag count given MAD
+    # post round 0: MAD + S7 severity cutoffs from ONE sketch of |x−med|
+    # (utils.R:769-770's 80th/90th deviation percentiles — the z deviation
+    # is monotone in |x−med|, so all three quantiles query the same KLL
+    # sketch; a second sketch pass would re-pay the serial final-merge)
+    # · post round 1: flag count given MAD
     def post_exprs(self, rnd: int) -> list[Column]:
         if rnd == 0:
             return [
                 F.percentile_approx(
                     F.abs(F.col(self.column) - F.lit(self._median or 0.0)),
-                    0.5, self.accuracy,
-                ).alias(f"{self._slug}__mad")
+                    F.array(F.lit(0.5), F.lit(0.8), F.lit(0.9)), self.accuracy,
+                ).alias(f"{self._slug}__madq")
             ]
         return [
             F.sum((self._z() > self.threshold).cast("long")).alias(f"{self._slug}__bad"),
             F.count(self.column).alias(f"{self._slug}__n"),
-            # S7 severity cutoffs (utils.R:769-770): 80th/90th percentile
-            # of the deviation distribution, in the SAME fused round
-            F.percentile_approx(self._z(), F.array(F.lit(0.8), F.lit(0.9)),
-                                self.accuracy).alias(f"{self._slug}__sq"),
         ]
 
     def post_verdicts(self, rnd: int, stats: dict[str, Any]) -> list[dict[str, Any]]:
         if rnd == 0:
-            mad = stats.get(f"{self._slug}__mad")
-            self._mad = None if mad is None else float(mad)
+            q = stats.get(f"{self._slug}__madq")
+            self._mad = None if q is None else float(q[0])
+            if q is not None:
+                scale = 1.4826 * (self._mad if self._mad else 1e-12)
+                self._sev = (float(q[1]) / scale, float(q[2]) / scale)
             return [verdict(self.name, self.column, "mad", self._mad)]
-        sq = stats.get(f"{self._slug}__sq")
-        if sq is not None and self._sev is None:
-            self._sev = (float(sq[0]), float(sq[1]))
         bad = stats.get(f"{self._slug}__bad") or 0
         n = stats.get(f"{self._slug}__n") or 0
         rate = (bad / n) if n else 0.0
@@ -121,14 +121,10 @@ class RobustZScoreCheck(Check):
         """Standalone fit (outside a suite run)."""
         med = df.agg(*self.stats_exprs()).first()[f"{self._slug}__median"]
         self._median = float(med)
-        row = df.agg(*self.post_exprs(0)).first()
-        self._mad = float(row[f"{self._slug}__mad"])
-        sq = df.agg(
-            F.percentile_approx(self._z(), F.array(F.lit(0.8), F.lit(0.9)),
-                                self.accuracy).alias("sq")
-        ).first()["sq"]
-        if sq is not None:
-            self._sev = (float(sq[0]), float(sq[1]))
+        q = df.agg(*self.post_exprs(0)).first()[f"{self._slug}__madq"]
+        self._mad = float(q[0])
+        scale = 1.4826 * (self._mad if self._mad else 1e-12)
+        self._sev = (float(q[1]) / scale, float(q[2]) / scale)
 
     def _z(self) -> Column:
         scale = 1.4826 * (self._mad if self._mad else 1e-12)
