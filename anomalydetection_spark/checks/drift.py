@@ -40,17 +40,19 @@ def bucket_expr(col: str | Column, lo: float, hi: float, nbins: int) -> Column:
 
 def histogram(
     df: DataFrame,
-    col: str,
+    col: str | Column,
     lo: float,
     hi: float,
     nbins: int = 64,
     group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """(group..., bin, n) counts with fixed-width bins. One shuffle of at
-    most #groups × nbins rows after map-side partial aggregation."""
+    most #groups × nbins rows after map-side partial aggregation. ``col``
+    may be a derived Column expression (e.g. ``F.length('bytes')``)."""
+    c = F.col(col) if isinstance(col, str) else col
     out = (
-        df.filter(F.col(col).isNotNull())
-        .withColumn("bin", bucket_expr(col, lo, hi, nbins))
+        df.filter(c.isNotNull())
+        .withColumn("bin", bucket_expr(c, lo, hi, nbins))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -107,6 +109,14 @@ class DriftCheck(Check):
     bin-count list, produced by a previous run's ``histogram`` (the
     engine's baseline-stats table, FIXTURES.md §3).  Bin EDGES are part of
     the check config so every snapshot bins identically.
+
+    ``expr``: histogram a DERIVED value instead of a raw column (e.g.
+    ``F.length('bytes')`` for byte-length drift — north-star feature
+    set: w/h/byte-length histograms). ``expr_cols`` names the columns it
+    reads; when one of them is a payload column the caller sets
+    ``use_original=True`` so the suite keeps it out of the cached narrow
+    projection — the histogram stage is map-only over the raw scan and
+    only (group, bin) count partials ever shuffle.
     """
 
     def __init__(
@@ -120,6 +130,9 @@ class DriftCheck(Check):
         max_psi: float = 0.2,
         max_ks: float = 0.15,
         max_emd_bins: float | None = None,
+        expr: Column | None = None,
+        expr_cols: Sequence[str] = (),
+        use_original: bool = False,
     ):
         self.column = column
         self.lo, self.hi, self.nbins = lo, hi, nbins
@@ -129,13 +142,18 @@ class DriftCheck(Check):
         self.max_ks = max_ks
         # EMD threshold expressed in BIN units (scale-free across configs)
         self.max_emd_bins = max_emd_bins
+        self.expr = expr
+        self.expr_cols = list(expr_cols)
+        self.use_original = use_original
         self.name = f"drift:{column}"
 
     def required_columns(self) -> list[str]:
-        return [self.column, *self.group_cols]
+        cols = self.expr_cols if self.expr is not None else [self.column]
+        return [*cols, *self.group_cols]
 
     def run_extra(self, df: DataFrame, stats: dict[str, Any] | None = None) -> list[dict[str, Any]]:
-        hist = histogram(df, self.column, self.lo, self.hi, self.nbins, self.group_cols)
+        target = self.expr if self.expr is not None else self.column
+        hist = histogram(df, target, self.lo, self.hi, self.nbins, self.group_cols)
         rows = hist.collect()
         by_group: dict[tuple, dict[int, int]] = {}
         for r in rows:

@@ -59,11 +59,53 @@ def image_schema_check() -> SchemaCheck:
     )
 
 
+# North-star drift feature set: w / h / byte-length histograms. The
+# byte-length feature histograms length(bytes) map-only over the raw
+# scan (use_original — payload bytes never enter the cache or a shuffle;
+# only (group, bin) count partials move).
+DRIFT_FEATURES: dict[str, dict] = {
+    "w": dict(lo=16, hi=2048, nbins=64),
+    "h": dict(lo=16, hi=2048, nbins=64),
+    "byte_length": dict(
+        lo=0, hi=65536, nbins=64,
+        # thunk: building a Column needs an active session (classic backend)
+        expr=lambda: F.length("bytes"), expr_cols=["bytes"], use_original=True,
+    ),
+}
+
+
+def drift_baseline_histograms(
+    images: DataFrame,
+    features: list[str] = ("w", "h", "byte_length"),
+    group_cols: list[str] = ("fmt",),
+) -> dict[str, dict[tuple, list[int]]]:
+    """Baseline histograms from a reference snapshot, one entry per drift
+    feature, keyed by group tuple — feed to ``build_image_suite``'s
+    ``drift_baselines``. One histogram job per feature (each a map-side
+    partial count; at most #groups × nbins rows shuffle)."""
+    from anomalydetection_spark.checks.drift import histogram
+
+    out: dict[str, dict[tuple, list[int]]] = {}
+    for feat in features:
+        cfg = DRIFT_FEATURES[feat]
+        target = cfg["expr"]() if "expr" in cfg else feat
+        rows = histogram(
+            images, target, cfg["lo"], cfg["hi"], cfg["nbins"], list(group_cols)
+        ).collect()
+        by_group: dict[tuple, list[int]] = {}
+        for r in rows:
+            key = tuple(r[g] for g in group_cols)
+            by_group.setdefault(key, [0] * cfg["nbins"])[r["bin"]] = r["n"]
+        out[feat] = by_group
+    return out
+
+
 def build_image_suite(
     fmt_dim: DataFrame | list,
     drift_baseline: dict | None = None,
     with_decode: bool = True,
     partition_by: list[str] = ("fmt",),
+    drift_baselines: dict[str, dict] | None = None,
 ) -> ValidationSuite:
     checks = [
         image_schema_check(),
@@ -82,10 +124,19 @@ def build_image_suite(
         RobustZScoreCheck("w", threshold=6.0, max_violation_rate=0.01, keys=KEYS),
         MahalanobisCheck(["w", "h"], alpha=0.999, max_violation_rate=0.01, keys=KEYS),
     ]
-    if drift_baseline is not None:
+    if drift_baseline is not None:  # legacy single-feature (w) form
+        drift_baselines = {"w": drift_baseline, **(drift_baselines or {})}
+    for feat, base in (drift_baselines or {}).items():
+        cfg = DRIFT_FEATURES[feat]
         checks.append(
-            DriftCheck("w", lo=16, hi=2048, nbins=64, baseline=drift_baseline,
-                       group_cols=["fmt"], max_psi=0.2, max_ks=0.15)
+            DriftCheck(
+                feat, lo=cfg["lo"], hi=cfg["hi"], nbins=cfg["nbins"],
+                baseline=base, group_cols=["fmt"],
+                max_psi=0.2, max_ks=0.15,
+                expr=cfg["expr"]() if "expr" in cfg else None,
+                expr_cols=cfg.get("expr_cols", ()),
+                use_original=cfg.get("use_original", False),
+            )
         )
     if with_decode:
         from anomalydetection_spark.image_udfs import DecodeCheck
@@ -100,8 +151,10 @@ def run_image_validation(
     fmt_dim: DataFrame | list | None = None,
     drift_baseline: dict | None = None,
     with_decode: bool = True,
+    drift_baselines: dict[str, dict] | None = None,
 ) -> SuiteResult:
     if fmt_dim is None:
         fmt_dim = ["jpeg", "png", "webp"]
-    suite = build_image_suite(fmt_dim, drift_baseline, with_decode)
+    suite = build_image_suite(fmt_dim, drift_baseline, with_decode,
+                              drift_baselines=drift_baselines)
     return suite.run(images, spark)

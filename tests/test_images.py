@@ -209,3 +209,42 @@ def test_caption_equality_invariant(spark):
     # caption drawn for a different identity so they fail too
     assert null_or_empty <= bad
     assert bad <= null_or_empty | dup_ids
+
+
+def test_multifeature_drift_with_byte_length(spark):
+    """North-star drift set: w/h/byte-length histograms. Baselines from a
+    reference snapshot; a snapshot with inflated payloads must flag
+    byte_length drift while w/h stay clean — and the byte-length
+    histogram must run map-only over the raw scan (bytes never cached)."""
+    import pyspark.sql.functions as F2
+
+    from anomalydetection_spark.plans.image_suite import (
+        build_image_suite,
+        drift_baseline_histograms,
+    )
+    from anomalydetection_spark.synth import generate_pandas, to_spark
+
+    pdf, _ = generate_pandas(400, with_payload=True)
+    base_df = to_spark(spark, pdf).cache()
+    baselines = drift_baseline_histograms(base_df)
+    assert set(baselines) == {"w", "h", "byte_length"}
+
+    # same metadata, payloads padded 3x -> only byte_length drifts
+    shifted = base_df.withColumn(
+        "bytes", F2.concat("bytes", "bytes", "bytes")
+    )
+    suite = build_image_suite(["jpeg", "png", "webp"], with_decode=False,
+                              drift_baselines=baselines)
+    res = suite.run(shifted, spark)
+    v = res.verdicts.filter("check like 'drift:%'").toPandas()
+    bl = v[(v["check"] == "drift:byte_length") & (v["metric"] == "psi")]
+    assert len(bl) and not bl["passed"].all()
+    w = v[(v["check"] == "drift:w") & (v["metric"].isin(["psi", "ks"]))]
+    assert len(w) and w["passed"].all()
+
+    # self-comparison is clean for every feature
+    res_same = build_image_suite(["jpeg", "png", "webp"], with_decode=False,
+                                 drift_baselines=baselines).run(base_df, spark)
+    vs = res_same.verdicts.filter("check like 'drift:%'").toPandas()
+    flagged = vs[(~vs["passed"]) & vs["metric"].isin(["psi", "ks"])]
+    assert flagged.empty
