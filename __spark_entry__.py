@@ -1050,6 +1050,53 @@ def o_ivf_centroid_update() -> str:
     """
 
 
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-style embedding quantization (functions/similarity.py
+    quantize_embeddings): per-label reconstruction-error profile of the
+    symmetric round(v/scale)·scale codec — the ANN storage path's
+    accuracy audit. Map-only quantize + one explode-aggregate; error
+    arithmetic is plain doubles so DuckDB reproduces it exactly."""
+    from anomalydetection_spark.functions.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = quantize_embeddings(emb)
+    err = F.zip_with(
+        F.col("embedding"), F.col("qvec"),
+        lambda v, q: F.abs(q.cast("double") * F.col("scale") - v.cast("double")),
+    )
+    flat = qd.select("label", F.col("scale"), F.explode(err).alias("err"))
+    return flat.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_elems"),
+        F.round(
+            F.sum(F.col("err").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)), 8,
+        ).alias("mean_abs_err"),
+        F.round(F.max("err"), 8).alias("max_abs_err"),
+        F.round(F.max("scale"), 8).alias("max_scale"),
+    )
+
+
+def o_embedding_quantization() -> str:
+    return """
+    WITH s AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+             CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> ABS(x))) > 0
+                  THEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> ABS(x))) / 127.0
+                  ELSE 1.0 END AS scale
+      FROM embeddings
+    ), flat AS (
+      SELECT label, scale,
+             ABS(ROUND(unnest(v) / scale, 0) * scale - unnest(v)) AS err
+      FROM s
+    )
+    SELECT label, COUNT(*) AS n_elems,
+           ROUND(CAST(SUM(CAST(err AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 8) AS mean_abs_err,
+           ROUND(MAX(err), 8) AS max_abs_err,
+           ROUND(MAX(scale), 8) AS max_scale
+    FROM flat GROUP BY label
+    """
+
+
 def q_routed_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 routed scan (``PRIME_App/server.R:678-742``: the region dropdown
     fans out to that region's files): events identity-partitioned by
@@ -1899,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deviation_severity": q_deviation_severity,
         "routed_partition_scan": q_routed_partition_scan,
         "ivf_centroid_update": q_ivf_centroid_update,
+        "embedding_quantization": q_embedding_quantization,
         "skew_salted_counts": q_skew_salted_counts,
         "column_stats_by_group": q_column_stats_by_group,
         "cube_stats": q_cube_stats,
@@ -1957,6 +2005,7 @@ def oracle_sql() -> dict[str, str]:
         "deviation_severity": o_deviation_severity(),
         "routed_partition_scan": o_routed_partition_scan(),
         "ivf_centroid_update": o_ivf_centroid_update(),
+        "embedding_quantization": o_embedding_quantization(),
         "skew_salted_counts": o_skew_salted_counts(),
         "column_stats_by_group": o_column_stats_by_group(),
         "cube_stats": o_cube_stats(),

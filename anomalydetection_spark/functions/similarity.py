@@ -347,3 +347,76 @@ def ivf_centroid_update(emb: DataFrame, centroids: DataFrame,
         F.transform(packed, lambda x: x["mean"]).alias("embedding"),
         F.max("n").alias("n"),
     )
+
+
+def hamming_near_pairs(df: DataFrame, id_col: str, sig_col: str,
+                       bits: int = 64, max_hamming: int = 2) -> DataFrame:
+    """(id_a, id_b, hamming) pairs of rows whose integer signatures differ
+    in ≤ ``max_hamming`` of ``bits`` bits — the image-table twin of the
+    text SimHash dedup, built for the ``phash`` column of the
+    authoritative input shape (perceptual near-duplicate detection).
+
+    Pigeonhole candidate generation (exact, recall 1.0): the signature is
+    split into ``max_hamming + 1`` disjoint bit segments; a pair within k
+    flips agrees exactly on ≥1 segment, so candidates come from an
+    equi-self-join on (segment, value) — never an O(n²) cross join. True
+    duplicate CLUSTERS are inherently quadratic in pair count (a planted
+    hot phash with m copies yields m(m−1)/2 pairs); dedup at corpus scale
+    should therefore group hamming-0 keys with a groupBy first and feed
+    only non-identical candidates here. Hot (segment, value) buckets are
+    plain shuffle keys — AQE skew-join splits them."""
+    s = df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+    nseg = max_hamming + 1
+    bounds = [bits * j // nseg for j in range(nseg + 1)]
+    def seg_val(j):
+        width = bounds[j + 1] - bounds[j]
+        shifted = F.shiftrightunsigned("sig", bounds[j])
+        if width >= 64:  # full-width segment (k=0): mask is a no-op and
+            return shifted  # (1<<64)-1 overflows a Java long
+        return shifted.bitwiseAND((1 << width) - 1)
+
+    segs = F.array(*[
+        F.struct(F.lit(j).alias("seg"), seg_val(j).alias("val"))
+        for j in range(nseg)
+    ])
+    e = s.select("id", "sig", F.explode(segs).alias("sv")).select(
+        "id", "sig", F.col("sv.seg").alias("seg"), F.col("sv.val").alias("val")
+    )
+    a = e.select(F.col("id").alias("id_a"), F.col("sig").alias("ha"), "seg", "val")
+    b = e.select(F.col("id").alias("id_b"), F.col("sig").alias("hb"), "seg", "val")
+    return (
+        a.join(b, ["seg", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def quantize_embeddings(emb: DataFrame, levels: int = 127) -> DataFrame:
+    """Symmetric per-vector int8-style quantization: ``scale`` =
+    max|v|/levels, ``qvec[i]`` = round(v[i]/scale) ∈ [−levels, levels]
+    (the max element maps to ±levels exactly, so no clip is needed).
+    Map-only — at 10^12 vectors this is the storage/bandwidth path for
+    ANN: 4× smaller than float32, dequantize with ``qvec[i]·scale``.
+    All arithmetic is plain double expressions, so an independent engine
+    reproduces the quantized values and reconstruction errors exactly."""
+    amax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    with_scale = emb.withColumn(
+        "scale",
+        F.when(amax > 0, amax / F.lit(float(levels))).otherwise(F.lit(1.0)),
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast("int"),
+    )
+    return with_scale.withColumn("qvec", q)
+
+
+def dequantize_expr() -> "F.Column":
+    """Reconstruction array for a frame produced by quantize_embeddings."""
+    return F.transform(F.col("qvec"), lambda x: x.cast("double") * F.col("scale"))

@@ -203,3 +203,19 @@ class ValidationSuite:
         finally:
             if cache:
                 stats_df.unpersist()
+
+
+def quarantine_split(
+    df: DataFrame, violations: DataFrame, keys: Sequence[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Partition ``df`` into (clean, quarantined) by the violation keys —
+    the standard downstream move after a run: train on ``clean``, route
+    ``quarantined`` to triage. A row violating several checks appears in
+    ``violations`` once per check, so keys are deduped first; both sides
+    are key-only joins (semi/anti), so the violation frame's payload
+    never joins wide, and a small violation set broadcasts."""
+    vk = violations.select(*keys).distinct()
+    return (
+        df.join(vk, list(keys), "left_anti"),
+        df.join(vk, list(keys), "left_semi"),
+    )

@@ -230,3 +230,95 @@ def test_ivf_centroid_update_converges_to_cluster_means(spark):
 
     plan = ivf_centroid_update(emb, init)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read), no join/window
+
+
+def test_phash_hamming_near_pairs_exact_and_equi_join(spark):
+    """64-bit pigeonhole near-dup on an int signature column (the phash
+    twin of SimHash dedup): exact vs brute force incl. sign-bit flips,
+    and no nested-loop join in the plan."""
+    import numpy as np
+
+    from anomalydetection_spark.functions.similarity import hamming_near_pairs
+
+    rng = np.random.default_rng(9)
+    base = int(rng.integers(-(1 << 62), 1 << 62))
+    sigs = {
+        0: base,
+        1: base ^ 1,                    # low-bit flip
+        2: base ^ (1 << 40),            # mid-segment flip
+        3: base ^ (1 << 63),            # sign-bit flip (unsigned shift path)
+        4: base ^ 0b111,                # 3 flips — beyond k=2
+    }
+    for i in range(5, 60):
+        sigs[i] = int(rng.integers(-(1 << 62), 1 << 62))
+    def to_i64(v):
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    sigs = {i: to_i64(v) for i, v in sigs.items()}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in sigs.items()], "id long, phash long"
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for k in (0, 2):
+        expect = {
+            (a, b, ham(sa, sb))
+            for a, sa in sigs.items() for b, sb in sigs.items()
+            if a < b and ham(sa, sb) <= k
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_near_pairs(df, "id", "phash", max_hamming=k).collect()
+        }
+        assert got == expect, f"k={k}"
+    assert (0, 3, 1) in got  # the sign-bit flip pair survived
+
+    plan = hamming_near_pairs(df, "id", "phash")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_embedding_quantization_roundtrip_bounds(spark):
+    import numpy as np
+
+    from anomalydetection_spark.functions.similarity import (
+        dequantize_expr,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qd = quantize_embeddings(emb)
+    rows = qd.select("embedding", "scale", "qvec",
+                     dequantize_expr().alias("deq")).collect()
+    assert rows
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        q = np.array(r["qvec"])
+        assert np.abs(q).max() <= 127
+        # symmetric codec: reconstruction error is at most scale/2 per elem
+        err = np.abs(np.array(r["deq"]) - v)
+        assert err.max() <= r["scale"] / 2 + 1e-12
+        assert r["scale"] > 0
+
+
+def test_quarantine_split_partitions_exactly(spark):
+    from anomalydetection_spark.checks import InSetCheck, NotNullCheck
+    from anomalydetection_spark.suite import ValidationSuite, quarantine_split
+
+    df = spark.createDataFrame(
+        [(f"id{i}", "jpeg" if i % 7 else "bmp",
+          None if i % 11 == 0 else f"cap {i}") for i in range(200)],
+        "image_id string, fmt string, caption string",
+    )
+    res = ValidationSuite(
+        [InSetCheck("fmt", ["jpeg", "png"], keys=["image_id"]),
+         NotNullCheck("caption", keys=["image_id"])], "t"
+    ).run(df)
+    clean, quarantined = quarantine_split(df, res.violations, ["image_id"])
+    n_bad = df.filter("fmt = 'bmp' or caption is null").count()
+    assert quarantined.count() == n_bad
+    assert clean.count() == 200 - n_bad
+    assert clean.join(quarantined, "image_id", "inner").count() == 0
