@@ -154,3 +154,54 @@ def test_interp_preserves_observed_and_fills_gaps(y, gaps):
     # interpolated values stay within the observed envelope (linear interp)
     assert out.min() >= arr[observed].min() - 1e-9
     assert out.max() <= arr[observed].max() + 1e-9
+
+
+# ------------------------------------------------- pigeonhole segment math
+
+def _segments(sig: int, bits: int, k: int) -> list[tuple[int, int]]:
+    """Reference replica of the (seg, val) split used by
+    simhash_near_pairs / hamming_near_pairs."""
+    nseg = k + 1
+    bounds = [bits * j // nseg for j in range(nseg + 1)]
+    u = sig & ((1 << bits) - 1)
+    return [
+        (j, (u >> bounds[j]) & ((1 << (bounds[j + 1] - bounds[j])) - 1))
+        for j in range(nseg)
+    ]
+
+
+@FAST
+@given(
+    sig=st.integers(-(1 << 63), (1 << 63) - 1),
+    k=st.integers(0, 6),
+    flips=st.lists(st.integers(0, 63), max_size=6, unique=True),
+)
+def test_pigeonhole_invariant_64bit(sig, k, flips):
+    """A pair within k bit flips MUST share at least one exact segment
+    (the recall-1.0 guarantee of the bucketed near-dup joins); beyond k
+    flips sharing is allowed but never required."""
+    other = sig
+    for b in flips:
+        other ^= 1 << b
+    a, b_ = _segments(sig, 64, k), _segments(other, 64, k)
+    shared = any(x == y for x, y in zip(a, b_))
+    if len(flips) <= k:
+        assert shared
+    # verify stage would reject far pairs regardless, so no assert else
+
+
+@FAST
+@given(
+    v=st.lists(st.floats(-1e6, 1e6, allow_nan=False, width=32),
+               min_size=1, max_size=64),
+)
+def test_quantization_codec_bounds(v):
+    """Symmetric int8 codec: |q| ≤ 127 and per-element reconstruction
+    error ≤ scale/2 (numpy replica of quantize_embeddings)."""
+    x = np.array(v, dtype=np.float64)
+    amax = np.abs(x).max()
+    scale = amax / 127.0 if amax > 0 else 1.0
+    q = np.floor(np.abs(x) / scale + 0.5) * np.sign(x)  # round half away
+    assert np.abs(q).max() <= 127
+    err = np.abs(q * scale - x)
+    assert err.max() <= scale / 2 + 1e-9 * max(1.0, amax)
