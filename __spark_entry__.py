@@ -1050,6 +1050,61 @@ def o_ivf_centroid_update() -> str:
     """
 
 
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline composition: exact dedup (keep
+    the smallest doc_id per identical text), lexical-quality filter
+    (distinct-token ratio ≥ 0.5), join the survivors to their embeddings,
+    and profile the clean corpus per language (counts, chars, mean
+    embedding norm). Every stage is one of the engine's dedup/quality/
+    similarity operators — the gate proves they compose with exact
+    cross-engine values (decimal sums + the deterministic norm fold)."""
+    from anomalydetection_spark.functions.similarity import _fold_dot
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    keepers = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    toks = F.split(F.col("text"), " ")
+    quality = (F.size(F.array_distinct(toks)) / F.size(toks)) >= 0.5
+    clean = (
+        d.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .filter(quality)
+    )
+    norm = F.round(F.sqrt(_fold_dot(F.col("embedding"), F.col("embedding"))), 8)
+    joined = clean.join(
+        e.select(F.col("vec_id").alias("doc_id"), norm.alias("nrm")), "doc_id"
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)), 8,
+        ).alias("mean_norm"),
+    )
+
+
+def o_pipeline_clean_corpus() -> str:
+    return """
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ), clean AS (
+      SELECT d.* FROM documents d
+      JOIN keepers k ON k.doc_id = d.doc_id
+      WHERE CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / LEN(string_split(text, ' ')) >= 0.5
+    ), joined AS (
+      SELECT c.lang, c.n_chars,
+             ROUND(SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[]))), 8) AS nrm
+      FROM clean c JOIN embeddings e ON e.vec_id = c.doc_id
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           ROUND(CAST(SUM(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 8) AS mean_norm
+    FROM joined GROUP BY lang
+    """
+
+
 def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-style embedding quantization (functions/similarity.py
     quantize_embeddings): per-label reconstruction-error profile of the
@@ -1947,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_partition_scan": q_routed_partition_scan,
         "ivf_centroid_update": q_ivf_centroid_update,
         "embedding_quantization": q_embedding_quantization,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "skew_salted_counts": q_skew_salted_counts,
         "column_stats_by_group": q_column_stats_by_group,
         "cube_stats": q_cube_stats,
@@ -2006,6 +2062,7 @@ def oracle_sql() -> dict[str, str]:
         "routed_partition_scan": o_routed_partition_scan(),
         "ivf_centroid_update": o_ivf_centroid_update(),
         "embedding_quantization": o_embedding_quantization(),
+        "pipeline_clean_corpus": o_pipeline_clean_corpus(),
         "skew_salted_counts": o_skew_salted_counts(),
         "column_stats_by_group": o_column_stats_by_group(),
         "cube_stats": o_cube_stats(),

@@ -344,3 +344,32 @@ def test_k1_cell_severity_tiers_and_estimate_mask(spark):
     dev = cells["deviation"].dropna()
     hi = cells[cells["severity"] == "high"]["deviation"]
     assert (hi > dev.quantile(0.9) - 1e-9).all()
+
+
+def test_sessionize_matches_structured_streaming_session_window(spark):
+    """Batch sessionize is the twin of F.session_window: identical
+    session membership for events away from the exact-gap boundary (the
+    two differ only in whether a gap of EXACTLY gap_seconds merges)."""
+    from datetime import datetime, timedelta
+
+    from anomalydetection_spark.functions.relational import sessionize
+
+    t0 = datetime(2024, 3, 1)
+    rows, t = [], t0
+    for i, step in enumerate([100, 200, 4000, 50, 3900, 10, 10, 5000]):
+        t = t + timedelta(seconds=step)
+        rows.append(("u", i, t))
+    df = spark.createDataFrame(rows, "user string, event_id long, ts timestamp")
+
+    batch = sessionize(df, ["user"], "ts", 3600, order_tiebreak="event_id")
+    batch_sessions = {
+        tuple(sorted(r["ids"]))
+        for r in batch.groupBy("user", "session_id")
+        .agg(F.collect_list("event_id").alias("ids")).collect()
+    }
+    sw = (
+        df.groupBy("user", F.session_window("ts", "3600 seconds"))
+        .agg(F.collect_list("event_id").alias("ids"))
+    )
+    sw_sessions = {tuple(sorted(r["ids"])) for r in sw.collect()}
+    assert batch_sessions == sw_sessions
