@@ -1050,6 +1050,46 @@ def o_ivf_centroid_update() -> str:
     """
 
 
+def q_dedup_hamming64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit-signature near-dup via the pigeonhole equi-join
+    (functions/similarity.py hamming_near_pairs — the phash dedup path of
+    the image table, gated here on a derived 60-bit md5 signature both
+    engines compute identically: Spark conv(hex,16,10) == DuckDB
+    positional hex fold). The signature keys the first 24 chars, so
+    shared-prefix documents (the corpus's near-dup plant) collide at
+    hamming 0; the oracle is the O(n²) definitional form, so the scope
+    is bounded — the engine side runs the segment-bucketed plan
+    regardless."""
+    from anomalydetection_spark.functions.similarity import hamming_near_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    sig = F.conv(
+        F.substring(F.md5(F.substring("text", 1, 24)), 1, 15), 16, 10
+    ).cast("long")
+    return hamming_near_pairs(
+        d.select("doc_id", sig.alias("sig")), "doc_id", "sig",
+        bits=60, max_hamming=8,
+    )
+
+
+def o_dedup_hamming64() -> str:
+    return """
+    WITH sigs AS (
+      SELECT doc_id,
+             CAST(SUM((CAST(position(substring(md5(substring(text, 1, 24)), i+1, 1)
+                            IN '0123456789abcdef') - 1 AS HUGEINT))
+                      << (4*(14 - i))) AS BIGINT) AS sig
+      FROM documents, (SELECT UNNEST(range(15)) AS i)
+      WHERE doc_id < 2000
+      GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(CAST(xor(a.sig, b.sig) AS BIT)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.sig, b.sig) AS BIT)) <= 8
+    """
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline composition: exact dedup (keep
     the smallest doc_id per identical text), lexical-quality filter
@@ -2003,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_centroid_update": q_ivf_centroid_update,
         "embedding_quantization": q_embedding_quantization,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "dedup_hamming64": q_dedup_hamming64,
         "skew_salted_counts": q_skew_salted_counts,
         "column_stats_by_group": q_column_stats_by_group,
         "cube_stats": q_cube_stats,
@@ -2063,6 +2104,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_centroid_update": o_ivf_centroid_update(),
         "embedding_quantization": o_embedding_quantization(),
         "pipeline_clean_corpus": o_pipeline_clean_corpus(),
+        "dedup_hamming64": o_dedup_hamming64(),
         "skew_salted_counts": o_skew_salted_counts(),
         "column_stats_by_group": o_column_stats_by_group(),
         "cube_stats": o_cube_stats(),
