@@ -134,3 +134,39 @@ def test_stateful_running_stats_accumulate_across_batches_and_restart(spark, tmp
     assert second["jpeg"]["cnt"] == 2 and second["jpeg"]["mean"] == 5.0
     # merge-form variance matches the exact batch computation
     assert abs(second["png"]["var"] - 100.0) < 1e-9
+
+
+def test_stream_micro_batches_refit_models_per_batch(spark, tmp_path):
+    """ADVICE r01 (high): a reused suite must not score batch N against
+    batch 1's fitted robust-z model. Two single-file micro-batches with
+    shifted distributions: each batch's median verdict reflects its own
+    data (reset() at the start of every run)."""
+    import pyspark.sql.functions as F2
+
+    from anomalydetection_spark.checks import RobustZScoreCheck
+    from anomalydetection_spark.streaming.incremental import validate_stream
+    from anomalydetection_spark.suite import ValidationSuite
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    suite = ValidationSuite([RobustZScoreCheck("w", keys=["image_id"])], "t")
+    schema = "image_id string, w int"
+
+    b1 = spark.createDataFrame(
+        [(f"a{i}", 100 + i % 5) for i in range(300)], schema)
+    b1.coalesce(1).write.mode("overwrite").parquet(inp)
+    validate_stream(spark, inp, schema, suite, out, ckpt,
+                    max_files_per_trigger=1).awaitTermination()
+
+    b2 = spark.createDataFrame(
+        [(f"b{i}", 9000 + i % 5) for i in range(300)], schema)
+    b2.coalesce(1).write.mode("append").parquet(inp)
+    validate_stream(spark, inp, schema, suite, out, ckpt,
+                    max_files_per_trigger=1).awaitTermination()
+
+    v = spark.read.parquet(f"{out}/verdicts")
+    med = {r["batch_id"]: r["value"] for r in
+           v.filter(F2.col("metric") == "median").collect()}
+    assert len(med) == 2
+    assert min(med.values()) < 200 and max(med.values()) > 8000
