@@ -1677,35 +1677,47 @@ def o_dedup_minhash_lsh() -> str:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup at the PRODUCTION config (max_hamming=3 →
+    4 pigeonhole segments × 16 bits each — the corpus-scale geometry);
+    the oracle is the O(n²) definitional self-join, so the engine's
+    segment-bucketed plan is verified for exact recall, not just
+    plausibility."""
     from anomalydetection_spark.functions.text import simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, max_hamming=6, scope=F.col("doc_id") < 150)
+    return simhash_near_pairs(d, max_hamming=3)
 
 
 def o_dedup_simhash() -> str:
     # (position(...) - 1) = hex value of the digit; parity must match
-    # Spark's conv(digit, 16, 10) % 2 exactly
+    # Spark's conv(digit, 16, 10) % 2 exactly. Bits 0-31 come from
+    # md5('0|'||t) digits 1-32, bits 32-63 from md5('1|'||t); bit 63 is
+    # the additive -2^63 two's-complement term (1<<63 overflows BIGINT).
     bit_sums = ", ".join(
-        f"SUM((CASE (position(substr(md5(t), {b + 1}, 1) IN '0123456789abcdef') - 1)"
+        f"SUM((CASE (position(substr(md5('{b // 32}|' || t), {b % 32 + 1}, 1)"
+        f" IN '0123456789abcdef') - 1)"
         f" % 2 WHEN 1 THEN 1 ELSE -1 END)) AS s{b}"
-        for b in range(16)
+        for b in range(64)
     )
     sig = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+        f"(CASE WHEN s{b} > 0 THEN "
+        + ("-9223372036854775808" if b == 63 else str(1 << b))
+        + " ELSE 0 END)"
+        for b in range(64)
     )
     return f"""
     WITH tok AS (
       SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS t
-      FROM documents WHERE doc_id < 150
+      FROM documents
     ), agg AS (
       SELECT id, {bit_sums} FROM tok GROUP BY id
     ), sig AS (
       SELECT id, CAST({sig} AS BIGINT) AS simhash FROM agg
     )
-    SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.simhash, b.simhash)) AS hamming
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) AS INT) AS hamming
     FROM sig a JOIN sig b ON a.id < b.id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) <= 3
     """
 
 

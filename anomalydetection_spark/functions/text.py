@@ -18,10 +18,19 @@ Scale notes (the whole point of each design):
   by key — at 10^12 docs the candidate set, not the corpus square, pays.
   Lexicographic min over md5 hex strings is a valid MinHash family
   (random permutation ≈ uniform hash ordering).
-* **SimHash** — 16-bit signature from per-token md5 digit parity;
-  near-dups differ in ≤k bits → ``bit_count(simhash_a ^ simhash_b)``.
-  Pairing within identical-signature buckets (or few-bit rotations) is
-  again an equi-join, not a cross join.
+* **SimHash** — 64-bit signature from per-token md5 digit parity (two
+  seeded md5s × 32 hex digits); near-dups differ in ≤k bits →
+  ``bit_count(simhash_a ^ simhash_b)``. Near-pair generation routes
+  through the generic pigeonhole machinery
+  (:func:`anomalydetection_spark.functions.similarity.hamming_near_pairs`)
+  so candidates come from (segment, value) equi-joins, never a cross
+  join. 64 bits matter at corpus scale: a 16-bit signature has only 65k
+  distinct values (no discrimination at 10⁹ docs) and its ≤k pigeonhole
+  segments are 2-4 bits wide (~no pruning); at 64 bits with k=3 each of
+  the 4 segments carries 16 bits → 65k bucket values per segment.
+  Measured on the 500-doc corpus: 16-bit gave 7,935 pairs ≤6 bits among
+  150 docs (71% of all pairs — noise); 64-bit gives 16 pairs ≤3 bits
+  among all 500 (the true near-dup plant).
 * **Fingerprinting** — winnowing-style: char 8-gram shingles at stride
   4, keep the 4 lexicographically-smallest md5s per document; shared
   fingerprints → containment/plagiarism candidates via groupBy.
@@ -147,27 +156,37 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     return verified
 
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
 _HEX = "0123456789abcdef"
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash) — 16-bit SimHash: bit b is the sign of the sum over
-    tokens of ±1 by the parity of md5 hex digit b. Pure expressions; one
-    shuffle (the groupBy on id after token explode)."""
+    """(id, simhash) — 64-bit SimHash: bit b is the sign of the sum over
+    tokens of ±1 by hex-digit parity of two seeded per-token md5s (bits
+    0-31 from digits 1-32 of ``md5('0|'||t)``, bits 32-63 from
+    ``md5('1|'||t)`` — positional, so DuckDB reproduces it digit for
+    digit). Pure expressions; one shuffle (the groupBy on id after the
+    token explode, map-side combined to 64 ints per id).
+
+    Bit 63 is folded in as the additive two's-complement term −2⁶³ so
+    the signature lands in a signed long without a ``1 << 63`` overflow
+    on either engine (DuckDB raises on the shift; Java wraps)."""
     tok = docs.select(
         F.col(id_col).alias("id"), F.explode(F.expr(TOKS)).alias("t")
-    ).withColumn("h", F.md5("t"))
+    ).withColumn("h0", F.md5(F.concat(F.lit("0|"), F.col("t")))
+    ).withColumn("h1", F.md5(F.concat(F.lit("1|"), F.col("t"))))
     bit_sums = [
         F.sum(
-            (F.conv(F.substring("h", b + 1, 1), 16, 10).cast("int") % 2 * 2 - 1)
+            (F.conv(F.substring("h0" if b < 32 else "h1", b % 32 + 1, 1), 16, 10)
+             .cast("int") % 2 * 2 - 1)
         ).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("id").agg(*bit_sums)
     sig = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        weight = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
+        term = F.when(F.col(f"s{b}") > 0, weight).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return agg.select("id", sig.cast("long").alias("simhash"))
 
@@ -176,39 +195,21 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                        max_hamming: int = 3, scope: Column | None = None) -> DataFrame:
     """(id_a, id_b, hamming) pairs with bit_count(xor) ≤ max_hamming.
 
-    Pigeonhole candidate generation (exact — recall 1.0): split the
-    16-bit signature into ``max_hamming + 1`` disjoint segments; a pair
+    Candidate generation delegates to the signature-width-generic
+    pigeonhole machinery (``similarity.hamming_near_pairs``): the 64-bit
+    signature splits into ``max_hamming + 1`` disjoint segments; a pair
     within k bit flips cannot touch every segment, so it agrees EXACTLY
-    on at least one — an equi-self-join on (segment_idx, segment_value)
-    finds every such pair without the O(n²) ``id_a < id_b`` nested loop.
-    Candidates are deduped, then verified with the exact popcount. Hot
-    (seg, val) buckets (e.g. boilerplate-heavy corpora collapsing to one
-    signature) are plain shuffle keys — AQE skew-join splits them."""
+    on ≥1 — an equi-self-join on (segment, value) finds every such pair
+    (recall 1.0) without the O(n²) nested loop, then the exact popcount
+    verifies. Keep ``max_hamming`` ≤ 3-4 at corpus scale so each segment
+    retains ≥ 13-16 bits of bucketing entropy. Hot (seg, val) buckets
+    (boilerplate-heavy corpora collapsing to one signature) are plain
+    shuffle keys — AQE skew-join splits them."""
+    from anomalydetection_spark.functions.similarity import hamming_near_pairs
+
     s = simhash(docs if scope is None else docs.filter(scope), id_col)
-    nseg = max_hamming + 1
-    bounds = [SIMHASH_BITS * j // nseg for j in range(nseg + 1)]
-    segs = F.array(*[
-        F.struct(
-            F.lit(j).alias("seg"),
-            F.shiftright("simhash", bounds[j])
-            .bitwiseAND((1 << (bounds[j + 1] - bounds[j])) - 1)
-            .alias("val"),
-        )
-        for j in range(nseg)
-    ])
-    e = s.select("id", "simhash", F.explode(segs).alias("sv")).select(
-        "id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.val").alias("val")
-    )
-    a = e.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"), "seg", "val")
-    b = e.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"), "seg", "val")
-    return (
-        a.join(b, ["seg", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ha", "hb")
-        .distinct()  # a pair may agree on several segments
-        .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return hamming_near_pairs(
+        s, "id", "simhash", bits=SIMHASH_BITS, max_hamming=max_hamming
     )
 
 

@@ -60,7 +60,8 @@ def test_minhash_matches_python_reference(docs):
 def test_simhash_identical_docs_and_pairs(docs):
     sigs = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sigs[0] == sigs[4]                      # identical text, identical hash
-    assert 0 <= sigs[0] < (1 << 16)
+    # 64-bit signature in a signed long; bit 63 enters as the -2^63 term
+    assert -(1 << 63) <= sigs[0] < (1 << 63)
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in simhash_near_pairs(docs, max_hamming=0).collect()}
     assert pairs[(0, 4)] == 0
@@ -169,11 +170,15 @@ def test_simhash_pigeonhole_matches_bruteforce_and_is_equi_join(spark):
 
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
     sigs = {r["id"]: r["simhash"] for r in simhash(d).collect()}
+    MASK = (1 << 64) - 1  # signed longs → 64-bit two's-complement popcount
+
+    def ham(a, b):
+        return bin((sigs[a] ^ sigs[b]) & MASK).count("1")
+
     for k in (0, 2, 3):
         expect = {
-            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
-            for a in sigs for b in sigs
-            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= k
+            (a, b, ham(a, b)) for a in sigs for b in sigs
+            if a < b and ham(a, b) <= k
         }
         got = {
             (r["id_a"], r["id_b"], r["hamming"])
@@ -183,6 +188,36 @@ def test_simhash_pigeonhole_matches_bruteforce_and_is_equi_join(spark):
 
     plan = simhash_near_pairs(d, max_hamming=3)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_simhash64_bucket_selectivity(spark):
+    """The scale property the 64-bit upgrade buys (VERDICT r02 #1): with
+    max_hamming=3 each pigeonhole segment carries 16 bits, so (seg, val)
+    buckets stay small and the candidate join prunes — unlike the old
+    16-bit form whose 4-bit segments put ~n/16 docs in every bucket and
+    whose signature space topped out at 65,536 values."""
+    from anomalydetection_spark.functions.text import SIMHASH_BITS, simhash
+
+    assert SIMHASH_BITS == 64
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = [r["simhash"] for r in simhash(d).collect()]
+    n = len(sigs)
+    # signatures discriminate: far more distinct values than a 16-bit
+    # space would retain on this near-dup-planted corpus
+    assert len(set(sigs)) >= n * 0.9
+
+    # pigeonhole bucket census at the production config (4 x 16-bit segs)
+    from collections import Counter
+    buckets = Counter()
+    for s in sigs:
+        u = s & ((1 << 64) - 1)
+        for j in range(4):
+            buckets[(j, (u >> (16 * j)) & 0xFFFF)] += 1
+    # candidate pair volume = sum nC2 per bucket; must be a small fraction
+    # of the n^2/2 cross join (16-bit segments would give ~n/16 per bucket)
+    cand_pairs = sum(c * (c - 1) // 2 for c in buckets.values())
+    assert cand_pairs <= 0.05 * n * (n - 1) / 2, cand_pairs
+    assert max(buckets.values()) <= max(4, 0.05 * n)
 
 
 def test_ivf_centroid_update_converges_to_cluster_means(spark):
