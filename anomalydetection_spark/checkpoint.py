@@ -248,6 +248,7 @@ class CheckpointedRunner:
                 res.violations.write.mode("overwrite").parquet(vdir)
                 viol_rows = spark.read.parquet(vdir).count()
             vlocal = res.verdicts.collect()
+            res.release()  # unit's sinks are written — free decode caches
             rows = int(next(
                 (v["value"] for v in vlocal
                  if v["metric"] == "row_count" and v["partition"] == ""), -1,

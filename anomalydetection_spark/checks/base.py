@@ -97,6 +97,15 @@ class Check(abc.ABC):
         without scoring unit N against unit 1's fitted model."""
         return None
 
+    def release(self) -> None:
+        """Free any persisted intermediate frames this check holds (e.g.
+        the decode-result cache). Called by ``ValidationSuite.release``
+        once the caller has consumed the run's violation frames; safe to
+        call repeatedly. Distinct from ``reset``: release only frees
+        storage — a released check can still serve its lazy DataFrames
+        (they recompute)."""
+        return None
+
     def stats_exprs(self) -> list[Column]:
         """Aggregate expressions to fold into the suite's ONE fused pass."""
         return []

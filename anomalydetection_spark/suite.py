@@ -32,10 +32,19 @@ class SuiteResult:
     violations: DataFrame | None  # offending rows, tagged with check name
     metrics: dict[str, Any]  # raw collected stats (global slice)
     elapsed_sec: float
+    suite: "ValidationSuite | None" = None  # owner, for release()
 
     @property
     def passed(self) -> bool:
         return self.verdicts.filter(~F.col("passed")).limit(1).count() == 0
+
+    def release(self) -> None:
+        """Free check-held persisted intermediates (the decode verdict
+        cache) once ``violations`` has been written/collected. Required
+        when the suite instance is throwaway (``run_image_validation``
+        builds one per call) — otherwise the cache outlives the run."""
+        if self.suite is not None:
+            self.suite.release()
 
 
 class ValidationSuite:
@@ -199,10 +208,26 @@ class ValidationSuite:
                 violations=violations,
                 metrics=global_stats,
                 elapsed_sec=time.time() - t0,
+                suite=self,
             )
         finally:
             if cache:
                 stats_df.unpersist()
+            if not with_violations:
+                # nothing downstream will re-read check-held intermediates
+                # (decode-result caches etc.) — free them now; otherwise
+                # they stay persisted so the returned lazy violations
+                # frame shares the run's single decode pass (call
+                # ``release()`` after consuming it).
+                self.release()
+
+    def release(self) -> None:
+        """Free persisted intermediates held by checks (e.g. the decode
+        verdict cache). Call after the returned violation frames have
+        been written/collected; the next ``run()`` also frees them via
+        ``reset()``."""
+        for c in self.checks:
+            c.release()
 
 
 def quarantine_split(

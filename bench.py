@@ -64,6 +64,13 @@ def time_image_suite(spark, path: str, with_decode: bool) -> dict:
         t0 = time.perf_counter()
         res = run_image_validation(spark, images, with_decode=with_decode)
         res.verdicts.write.format("noop").mode("overwrite").save()
+        if with_decode and res.violations is not None:
+            # violations ON for the decode leg (round 3): the persisted
+            # narrow decode frame serves both the verdict aggregate and
+            # this write from ONE mapInPandas decode pass — previously a
+            # second full decode
+            res.violations.write.format("noop").mode("overwrite").save()
+        res.release()
         return time.perf_counter() - t0
 
     one_run()  # warm: codegen + JIT of the fused agg (same as scaling_bench)

@@ -283,10 +283,18 @@ def test_suite_reuse_refits_model_per_run(spark):
 def test_decode_check_reset_clears_cached_results():
     from anomalydetection_spark.image_udfs import DecodeCheck
 
+    class FakeFrame:
+        unpersisted = False
+
+        def unpersist(self, blocking=False):
+            self.unpersisted = True
+
     c = DecodeCheck()
-    c._results = "sentinel"
+    fake = FakeFrame()
+    c._results = fake
     c.reset()
     assert c._results is None
+    assert fake.unpersisted  # reset also frees the persisted decode cache
 
 
 def test_violations_carry_severity_tier(spark, images):
