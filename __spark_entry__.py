@@ -1199,14 +1199,20 @@ def q_routed_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet), then a two-value routing predicate that must become a
     PartitionFilter — only the click/ and purchase/ directories are read,
     never the other partitions (plan-guarded in tests/test_plans.py).
-    The partitioned copy is materialized once per (sf, row-count) under
-    /tmp and reused; values are identical to the flat table, which is
-    what the oracle checks."""
+    The partitioned copy is materialized once per input CONTENT
+    fingerprint under /tmp and reused; keying on the fingerprint (not
+    sf-dir name + row count) means a regenerated fixture with equal
+    cardinality but different values can never silently reuse a stale
+    copy against a fresh oracle. Values are identical to the flat
+    table, which is what the oracle checks."""
     import os
     import tempfile
 
+    from anomalydetection_spark.checkpoint import input_fingerprint
+
     ev = _t(spark, sf_dir, "events")
-    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{ev.count()}"
+    fp = input_fingerprint(spark, f"{sf_dir}/events.parquet").split(":")[-1]
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
     out = os.path.join(tempfile.gettempdir(), f"adspark_routed_events_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev.write.mode("overwrite").partitionBy("event_type").parquet(out)

@@ -63,20 +63,30 @@ def input_fingerprint(spark: SparkSession, path: str) -> str:
     File listing goes through the Hadoop FileSystem API so ``s3a://`` /
     ``hdfs://`` inputs fingerprint their real file set — a driver-local
     ``os.walk`` would see nothing there and return one constant digest
-    for every remote input, silently defeating snapshot pinning."""
+    for every remote input, silently defeating snapshot pinning.
+
+    Both branches emit identical entries for the same data: paths
+    RELATIVE to the listed root and mtimes at SECOND granularity. An
+    absolute-path/ms-mtime fingerprint would (a) differ between the two
+    branches for local data and (b) change when identical data is moved
+    or remounted — breaking 'equal fingerprint ⇔ same data version' and
+    forcing spurious recomputes."""
     entries = []
     try:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        root = fs.makeQualified(hpath).toUri().getPath().rstrip("/")
         it = fs.listFiles(hpath, True)
         while it.hasNext():
             st = it.next()
             name = st.getPath().getName()
             if name.startswith("_") or name.startswith("."):
                 continue
+            p = st.getPath().toUri().getPath()
+            rel = p[len(root):].lstrip("/") if p.startswith(root) else p
             entries.append(
-                f"{st.getPath().toUri().getPath()}:{st.getLen()}:{st.getModificationTime()}"
+                f"{rel}:{st.getLen()}:{st.getModificationTime() // 1000}"
             )
     except Exception:
         # no JVM gateway (Spark Connect): local filesystem only

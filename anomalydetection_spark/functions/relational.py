@@ -47,6 +47,11 @@ def asof_join(
     right columns cost one window pass instead of W.
     """
     by = list(by)
+    right_cols = list(right_cols)
+    if not right_cols:
+        # struct() with zero fields is invalid; an as-of join attaching
+        # nothing is a caller bug — fail loudly instead
+        raise ValueError("asof_join: right_cols must name ≥1 column to attach")
     l = left.withColumn("__side", F.lit(1))
     r = right.select(*by, on, *right_cols).withColumn("__side", F.lit(0))
     u = l.unionByName(r, allowMissingColumns=True)

@@ -319,10 +319,19 @@ def ivf_centroid_update(emb: DataFrame, centroids: DataFrame,
     — n·d narrow rows that combine map-side to ≤ C·d partials per task.
     Sums are exact decimals (order-insensitive across the shuffle merge),
     so any engine reproduces the means bit-for-bit. Iterate k-means by
-    feeding the result back as ``centroids``.
+    feeding the packed result back as ``centroids``.
 
-    Returns (bucket, embedding array<double>, n) — or, with
-    ``melted=True``, the flat (bucket, pos, mean, n) form."""
+    Precondition: embedding elements must be dense (no NULL element —
+    ``F.count`` skips NULLs, which would make ``n`` and the per-position
+    means inconsistent within a bucket). Assert/filter upstream if the
+    corpus can carry ragged vectors.
+
+    Returns (bucket, embedding array<double>, n). Buckets that attracted
+    ZERO vectors this iteration keep their OLD centroid with n = 0 (a
+    left join back to the input centroid ids) — dropping them would
+    silently shrink C across Lloyd iterations. With ``melted=True``,
+    returns the raw flat (bucket, pos, mean, n) aggregation instead
+    (non-empty buckets only — the cross-engine-gated form)."""
     dim = embedding_dim(emb)
     v = _with_norm(emb, "vec_id", "ea", "na2", dim)
     best = F.element_at(_centroid_scores(centroids, dim), 1)
@@ -343,9 +352,21 @@ def ivf_centroid_update(emb: DataFrame, centroids: DataFrame,
     if melted:
         return means
     packed = F.sort_array(F.collect_list(F.struct("pos", "mean")))
-    return means.groupBy("bucket").agg(
-        F.transform(packed, lambda x: x["mean"]).alias("embedding"),
+    updated = means.groupBy("bucket").agg(
+        F.transform(packed, lambda x: x["mean"]).alias("new_emb"),
         F.max("n").alias("n"),
+    )
+    old = centroids.select(
+        F.col("vec_id").alias("bucket"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("old_emb"),
+    )
+    return (
+        old.join(updated, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("new_emb", "old_emb").alias("embedding"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
     )
 
 

@@ -32,16 +32,24 @@ def heavy_hitters(df: DataFrame, key: str, min_share: float = 0.001,
 
     Sampled pre-pass: one narrow scan of ``sample_fraction`` rows (auto:
     aims at ~1M sampled rows), map-side combined — the output is at most
-    1/min_share rows, always broadcastable."""
+    1/min_share rows, always broadcastable.
+
+    Job shape: ONE metadata-only ``df.count()`` (parquet row-group
+    stats, no data scan) + the sampled aggregation itself. The share
+    denominator is the EXPECTED sample size (total × fraction) rather
+    than a separately-counted realized size — shares are estimates
+    either way (binomial sampling noise dominates), and this saves a
+    second scan of the sample; at fraction=1.0 the two coincide
+    exactly."""
+    total = df.count()  # metadata-only count (parquet row-group stats)
     if sample_fraction is None:
-        total = df.count()  # metadata-only count (parquet row-group stats)
         sample_fraction = min(1.0, 1_000_000 / max(total, 1))
+    n_est = max(float(total) * sample_fraction, 1.0)
     s = df.sample(fraction=sample_fraction, seed=42).select(key)
-    n = s.count() or 1
     return (
         s.groupBy(key)
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("est_share", F.col("cnt") / F.lit(float(n)))
+        .withColumn("est_share", F.col("cnt") / F.lit(n_est))
         .filter(F.col("est_share") >= min_share)
         .drop("cnt")
     )

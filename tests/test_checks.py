@@ -258,6 +258,12 @@ def test_asof_join_attaches_whole_right_row(spark):
     assert row["tag"] == "new"
     assert row["val"] is None   # genuine NULL from the matched row survives
 
+    # ADVICE r02: empty right_cols would build a zero-field struct —
+    # must raise a clear error instead
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="right_cols"):
+        asof_join(left, right, on="ts", by=["user"], right_cols=[])
+
 
 def test_suite_reuse_refits_model_per_run(spark):
     """One suite instance over two units: the second run's robust-z /

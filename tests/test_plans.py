@@ -124,6 +124,19 @@ def test_heavy_hitters_finds_hot_phash(spark, images_path):
     vals = {r["phash"] for r in hot.collect()}
     assert HOT_PHASH in vals  # the planted ~1% hot key is detected
 
+    # one pre-pass job only (VERDICT r02 #8): building the plan runs the
+    # metadata-only df.count() and nothing else — no second sample scan
+    sc = spark.sparkContext
+    sc.setJobGroup("hh_prepass", "heavy_hitters pre-pass job count")
+    try:
+        heavy_hitters(df, "phash", min_share=0.005)  # plan only, no collect
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc._jsc.sc().statusTracker().getJobIdsForGroup("hh_prepass")
+    # the metadata-only count() costs ≤2 jobs under AQE; the old second
+    # pre-pass (a full sample scan + count) would add ≥2 more
+    assert len(list(jobs)) <= 2, list(jobs)
+
 
 def test_near_dup_pair_stage_broadcasts_and_never_shuffles_embeddings(spark):
     from anomalydetection_spark.functions.similarity import cosine_near_dup_pairs

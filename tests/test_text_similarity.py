@@ -264,7 +264,29 @@ def test_ivf_centroid_update_converges_to_cluster_means(spark):
     assert all(len(g) == 1 for g in groups.values())
 
     plan = ivf_centroid_update(emb, init)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read), no join/window
+    # one (bucket, pos) agg shuffle; the carry-forward join against the
+    # C-row centroid dim must broadcast, never sort-merge
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_centroid_update_keeps_empty_buckets(spark):
+    """ADVICE r02: a bucket that attracts zero vectors must keep its old
+    centroid with n=0 — dropping it would silently shrink C across Lloyd
+    iterations."""
+    rows = [(vid, [10.0, 0.0] if vid % 2 == 0 else [9.5, 0.5]) for vid in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # centroid 0 near the data, centroid 99 orthogonal → never nearest
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (99, [0.0, -1.0])], "vec_id long, embedding array<float>"
+    )
+    from anomalydetection_spark.functions.similarity import ivf_centroid_update
+
+    got = {r["bucket"]: r for r in ivf_centroid_update(emb, cents).collect()}
+    assert set(got) == {0, 99}          # C preserved
+    assert got[0]["n"] == 10
+    assert got[99]["n"] == 0
+    assert got[99]["embedding"] == [0.0, -1.0]  # old centroid carried
 
 
 def test_phash_hamming_near_pairs_exact_and_equi_join(spark):
