@@ -149,9 +149,12 @@ class CheckpointedRunner:
         bucket_key: str | None = None,
         n_buckets: int = 16,
         allow_snapshot_change: bool = False,
+        stage_buckets: bool = False,
     ):
         if (unit_col is None) == (bucket_key is None):
             raise ValueError("exactly one of unit_col / bucket_key is required")
+        if stage_buckets and bucket_key is None:
+            raise ValueError("stage_buckets applies to bucket_key mode only")
         from anomalydetection_spark.checks import RowCountCheck
 
         if not any(isinstance(c, RowCountCheck) for c in suite.checks):
@@ -166,6 +169,7 @@ class CheckpointedRunner:
         self.bucket_key = bucket_key
         self.n_buckets = n_buckets
         self.allow_snapshot_change = allow_snapshot_change
+        self.stage_buckets = stage_buckets
 
     # -- ledger primitives -------------------------------------------------
     def _ledger_path(self, unit: str) -> str:
@@ -199,7 +203,37 @@ class CheckpointedRunner:
         return rec
 
     # -- unit planning -------------------------------------------------------
-    def _units(self, df: DataFrame) -> list[tuple[str, DataFrame]]:
+    def _staged_units(self, df: DataFrame, snapshot: str) -> list[tuple[str, DataFrame]]:
+        """One-pass bucket staging: write the input ONCE partitioned by
+        the computed bucket, then every unit is a partition-pruned read
+        of its own directory. Trades one full write (+read) for the
+        non-staged mode's n_buckets× scan amplification — the right call
+        on plain unpartitioned parquet whenever n_buckets is more than
+        ~2-3; an Iceberg table bucket-partitioned on the key needs
+        neither (unit predicates prune natively). The staging copy is
+        keyed by the input snapshot fingerprint, so a resumed run reuses
+        it and a changed input restages."""
+        spark = df.sparkSession
+        tag = snapshot.replace(":", "_").replace("/", "_")
+        staged = os.path.join(self.out_dir, "_staging", tag)
+        if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+            b = F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.n_buckets))
+            (
+                df.withColumn("__bucket", b)
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(staged)
+            )
+        sdf = spark.read.parquet(staged)
+        return [
+            (
+                f"bucket={i:04d}",
+                sdf.filter(F.col("__bucket") == F.lit(i)).drop("__bucket"),
+            )
+            for i in range(self.n_buckets)
+        ]
+
+    def _units(self, df: DataFrame, snapshot: str = "unpinned") -> list[tuple[str, DataFrame]]:
         if self.unit_col is not None:
             # keep the ORIGINAL typed values for the filter (stringifying
             # then comparing col == lit(str) is lossy for non-string
@@ -224,6 +258,15 @@ class CheckpointedRunner:
                 )
                 units.append((label, df.filter(pred)))
             return units
+        if self.stage_buckets:
+            return self._staged_units(df, snapshot)
+        # WARNING — scan amplification: each unit filters the FULL input
+        # by pmod(xxhash64(key), n), so a resumable run over plain
+        # unpartitioned parquet reads the table n_buckets times. This is
+        # the Iceberg ``bucket(N, key)`` analog and is the right shape
+        # ONLY when the table is physically bucketed (unit scans prune);
+        # otherwise pass ``stage_buckets=True`` for the one-pass staged
+        # variant.
         b = F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.n_buckets))
         return [
             (f"bucket={i:04d}", df.filter(b == F.lit(i)))
@@ -240,7 +283,7 @@ class CheckpointedRunner:
             )
         report = RunReport(snapshot=snapshot)
         lineage_rows = []
-        for unit, slice_df in self._units(df):
+        for unit, slice_df in self._units(df, snapshot):
             rec = self._completed(unit, snapshot)
             if rec is not None:
                 report.units.append(

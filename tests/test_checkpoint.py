@@ -82,6 +82,57 @@ def test_partial_resume_runs_only_missing_units(spark, image_table, tmp_path):
     assert sum(rows.values()) == 2000
 
 
+def test_staged_bucket_mode_matches_unstaged_and_prunes(spark, image_table, tmp_path):
+    """stage_buckets=True (VERDICT r02 #7): one staging write partitioned
+    by the computed bucket replaces the n_buckets× full-input scans of
+    plain bucket mode; results are identical, unit reads partition-prune,
+    and a resume reuses the staging copy."""
+    df = spark.read.parquet(image_table)
+    out_a = str(tmp_path / "plain")
+    out_b = str(tmp_path / "staged")
+    r_plain = CheckpointedRunner(
+        _suite(), out_a, bucket_key="image_id", n_buckets=4
+    ).run(df, input_path=image_table)
+    runner = CheckpointedRunner(
+        _suite(), out_b, bucket_key="image_id", n_buckets=4, stage_buckets=True
+    )
+    r_staged = runner.run(df, input_path=image_table)
+
+    assert r_staged.completed == 4
+    # same unit partitioning and per-unit row counts as the unstaged mode
+    assert {u.unit: u.rows for u in r_staged.units} == \
+           {u.unit: u.rows for u in r_plain.units}
+    assert sum(u.rows for u in r_staged.units) == 2000
+    # identical verdict outcomes per unit (values up to float partial-
+    # aggregation merge order — staging changes the partition layout)
+    for i in range(4):
+        a = spark.read.parquet(os.path.join(out_a, "verdicts", f"unit=bucket={i:04d}"))
+        b = spark.read.parquet(os.path.join(out_b, "verdicts", f"unit=bucket={i:04d}"))
+        key = lambda r: (r["check"], r["column"], r["metric"], r["partition"])
+        va = {key(r): (r["value"], r["passed"]) for r in a.collect()}
+        vb = {key(r): (r["value"], r["passed"]) for r in b.collect()}
+        assert va.keys() == vb.keys()
+        for k in va:
+            assert va[k][1] == vb[k][1], k
+            assert va[k][0] == pytest.approx(vb[k][0], rel=1e-9, abs=1e-12), k
+
+    # staging exists exactly once and unit reads prune to one partition dir
+    staging_root = os.path.join(out_b, "_staging")
+    tags = os.listdir(staging_root)
+    assert len(tags) == 1
+    units = runner._units(df, r_staged.snapshot)
+    plan = units[2][1]._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bucket" in plan
+
+    # resume skips everything and does not restage
+    mtime = os.path.getmtime(os.path.join(staging_root, tags[0], "_SUCCESS"))
+    r2 = CheckpointedRunner(
+        _suite(), out_b, bucket_key="image_id", n_buckets=4, stage_buckets=True
+    ).run(df, input_path=image_table)
+    assert r2.resumed == 4 and r2.completed == 0
+    assert os.path.getmtime(os.path.join(staging_root, tags[0], "_SUCCESS")) == mtime
+
+
 def test_snapshot_change_is_refused_then_allowed(spark, image_table, tmp_path):
     out = str(tmp_path / "out")
     df = spark.read.parquet(image_table)
