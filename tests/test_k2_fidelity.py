@@ -1,0 +1,132 @@
+"""K2 forecaster fidelity study (VERDICT r02 next-round #5).
+
+BASELINE.md promises violation-row recall vs the reference's flagged set,
+but the container has no R/statsmodels to run ``stlf``/``auto.arima``
+directly. This study quantifies the gap on a deterministic fixture
+battery: the ENGINE's dependency-free analogs (kernels/timeseries.py)
+vs an INDEPENDENT higher-fidelity implementation (tests/k2_reference.py:
+loess-STL trend covering the series ends, SSE/AICc-optimized ETS, and
+AICc-selected AR — the algorithmic shape of R's forecast package, minus
+its MA(q) search, which is documented as out of scope).
+
+Fixture battery: 120 quarterly series over a 3×2×2 grid of seasonal
+amplitude {0, 5, 20} × trend slope {0, 1} × noise sd {0.5, 2}, each with
+a planted final-period anomaly of k ∈ {0, 1, 2, 4, 8} noise-sds in both
+directions. Flag rule identical on both sides (outside the 99% normal PI),
+so only forecaster fidelity differs.
+
+Measured at round 3 (these are the assertions below, with small slack):
+
+  model      flag agreement   flagged-set recall
+  stl_arima      0.975              0.981
+  stl_ets        0.967              0.913
+  arima          0.975              0.932
+
+By anomaly size: agreement 1.0 at k=8 (gross anomalies never missed),
+≥ 0.98 at k ∈ {0, 1} (clean data not over-flagged); residual
+disagreement concentrates at k ∈ {2, 4} — points near the band edge,
+where any pair of distinct correct forecasters also disagrees.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pytest
+
+from anomalydetection_spark.kernels.timeseries import (
+    Z99,
+    _ar1_drift,
+    _stl_forecast,
+)
+
+from k2_reference import ref_flags
+
+M = 4
+
+
+def _engine_flags(hist: np.ndarray, actual: float) -> dict[str, int]:
+    fits = {
+        "stl_arima": _stl_forecast(hist, M, "arima"),
+        "stl_ets": _stl_forecast(hist, M, "ets"),
+        "arima": _ar1_drift(hist, M),
+    }
+    return {
+        mo: int(actual < p - Z99 * sd or actual > p + Z99 * sd)
+        for mo, (p, sd) in fits.items()
+    }
+
+
+@pytest.fixture(scope="module")
+def study():
+    rows = []
+    for A in (0.0, 5.0, 20.0):
+        for slope in (0.0, 1.0):
+            for sigma in (0.5, 2.0):
+                for k in (0, 1, 2, 4, 8):
+                    for direction, seed in ((1, 0), (-1, 1)):
+                        # deterministic per-fixture stream
+                        key = hash((A, slope, sigma, k, seed)) % 2**32
+                        rng = np.random.default_rng(key)
+                        n = 24
+                        t = np.arange(n + 1)
+                        base = (100 + slope * t
+                                + A * np.sin(2 * np.pi * (t % M) / M + 0.5))
+                        y = base + rng.normal(0, sigma, n + 1)
+                        hist = y[:-1]
+                        actual = float(base[-1] + k * sigma * direction)
+                        e = _engine_flags(hist, actual)
+                        r = ref_flags(hist, actual, M)
+                        for mo in e:
+                            rows.append(
+                                (k, mo, e[mo], r[mo]["outlier"])
+                            )
+    return rows
+
+
+def test_flag_agreement_per_model(study):
+    agree = collections.Counter()
+    conf = collections.Counter()
+    for k, mo, eo, ro in study:
+        agree[(mo, eo == ro)] += 1
+        conf[(mo, eo, ro)] += 1
+    floors = {"stl_arima": 0.95, "stl_ets": 0.94, "arima": 0.95}
+    for mo, floor in floors.items():
+        tot = agree[(mo, True)] + agree[(mo, False)]
+        a = agree[(mo, True)] / tot
+        assert a >= floor, (mo, a)
+
+
+def test_flagged_set_recall_per_model(study):
+    """Recall of the engine ON the reference-flagged set — the
+    BASELINE.md fidelity claim. The reference battery plants enough
+    anomalies that every model has ≥ 40 flagged points."""
+    conf = collections.Counter()
+    for k, mo, eo, ro in study:
+        conf[(mo, eo, ro)] += 1
+    floors = {"stl_arima": 0.95, "stl_ets": 0.88, "arima": 0.90}
+    for mo, floor in floors.items():
+        ref_pos = conf[(mo, 1, 1)] + conf[(mo, 0, 1)]
+        assert ref_pos >= 40
+        rec = conf[(mo, 1, 1)] / ref_pos
+        assert rec >= floor, (mo, rec)
+
+
+def test_agreement_by_anomaly_magnitude(study):
+    """Gross anomalies (8σ) are never missed by either side; clean data
+    (k=0) is never over-flagged beyond noise; the edge zone (2-4σ) holds
+    the residual disagreement."""
+    by_k = collections.Counter()
+    for k, mo, eo, ro in study:
+        by_k[(k, eo == ro)] += 1
+
+    def agreement(k):
+        tot = by_k[(k, True)] + by_k[(k, False)]
+        return by_k[(k, True)] / tot
+
+    assert agreement(8) == 1.0
+    assert agreement(0) >= 0.97
+    assert agreement(1) >= 0.97
+    assert agreement(2) >= 0.85
+    assert agreement(4) >= 0.85
