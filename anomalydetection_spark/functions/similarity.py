@@ -360,8 +360,11 @@ def ivf_centroid_update(emb: DataFrame, centroids: DataFrame,
         F.col("vec_id").alias("bucket"),
         F.transform("embedding", lambda x: x.cast("double")).alias("old_emb"),
     )
+    # both sides are ≤C rows here, but the centroid frame often comes from
+    # a source without stats (createDataFrame / filter of a big table), so
+    # force the broadcast — a sort-merge join would shuffle both tiny sides
     return (
-        old.join(updated, "bucket", "left")
+        old.join(F.broadcast(updated), "bucket", "left")
         .select(
             "bucket",
             F.coalesce("new_emb", "old_emb").alias("embedding"),
