@@ -171,14 +171,22 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Bit 63 is folded in as the additive two's-complement term −2⁶³ so
     the signature lands in a signed long without a ``1 << 63`` overflow
     on either engine (DuckDB raises on the shift; Java wraps)."""
+    def parity(seed: str) -> Column:
+        # ONE translate maps all 32 hex digits to their parity chars;
+        # per-bit extraction is then a cheap substring+cast. The naive
+        # form (64 conv(substr, 16, 10) radix parses per token) was
+        # measured ~1.5x slower over the whole aggregation.
+        return F.translate(
+            F.md5(F.concat(F.lit(seed), F.col("t"))),
+            "0123456789abcdef", "0101010101010101",
+        )
+
     tok = docs.select(
         F.col(id_col).alias("id"), F.explode(F.expr(TOKS)).alias("t")
-    ).withColumn("h0", F.md5(F.concat(F.lit("0|"), F.col("t")))
-    ).withColumn("h1", F.md5(F.concat(F.lit("1|"), F.col("t"))))
+    ).withColumn("p0", parity("0|")).withColumn("p1", parity("1|"))
     bit_sums = [
         F.sum(
-            (F.conv(F.substring("h0" if b < 32 else "h1", b % 32 + 1, 1), 16, 10)
-             .cast("int") % 2 * 2 - 1)
+            F.substring("p0" if b < 32 else "p1", b % 32 + 1, 1).cast("int") * 2 - 1
         ).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]

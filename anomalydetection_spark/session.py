@@ -58,9 +58,15 @@ def get_spark(
         # 20-106s without pre-touch, 5-7s with). Paying the fault cost
         # once at JVM startup is also standard practice for executor JVMs
         # on real clusters.
+        # 512m code cache: the default 240m fills after ~60 warmed
+        # codegen-heavy plans in one JVM (wide fused aggs, 64-term bit
+        # sums); once full the JIT stops compiling and every LATER query
+        # runs partially interpreted — measured here as a uniform
+        # 15-50% bench inflation that vanished in isolated runs.
         .config(
             "spark.driver.extraJavaOptions",
             f"-Xms{driver_mem} -XX:+AlwaysPreTouch "
+            "-XX:ReservedCodeCacheSize=512m "
             + os.environ.get("SPARK_DRIVER_JAVA_OPTS", ""),
         )
         .config("spark.ui.enabled", "false")

@@ -143,9 +143,12 @@ def test_near_dup_pair_stage_broadcasts_and_never_shuffles_embeddings(spark):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = plan_of(cosine_near_dup_pairs(emb, 0.35))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # the O(n^2) pair stage must not hash-shuffle the corpus
+    # block kernel: one map-only pass over the corpus; the O(n^2) pair
+    # set lives inside the Arrow batch, never as plan rows — so the plan
+    # has no join and no shuffle of embeddings at all
+    assert "MapInPandas" in plan
     assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
 
 
 def test_ivf_probe_join_broadcasts_query_side(spark):
