@@ -2146,6 +2146,45 @@ def o_dedup_embedding_lsh() -> str:
     """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTER labeling (functions/graph.py): connected components
+    of the MinHash-LSH near-dup pair graph via min-label propagation —
+    the keep/drop policy stage that turns pair output into one canonical
+    keeper per duplicate cluster. Pairs come from the exact same
+    generator config as the ``dedup_minhash_lsh`` gate, so this gate
+    additionally proves an ITERATIVE driver-controlled algorithm (loop
+    until the label-sum fixpoint, lineage truncated per round) against a
+    recursive-CTE transitive-closure oracle."""
+    from anomalydetection_spark.functions.graph import near_dup_clusters
+    from anomalydetection_spark.functions.text import minhash_lsh_pairs
+
+    d = _td(spark, sf_dir)
+    pairs = minhash_lsh_pairs(d, n=3, k=8, rows_per_band=2, min_jaccard=0.05)
+    return near_dup_clusters(pairs, a="id_a", b="id_b")
+
+
+def o_dedup_clusters() -> str:
+    # pair CTE = the dedup_minhash_lsh oracle verbatim; closure = classic
+    # recursive reachability; label = MIN(reachable id) per source node
+    return f"""
+    WITH RECURSIVE pairs AS ({o_dedup_minhash_lsh()}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    labels AS (SELECT src AS doc_id, MIN(node) AS cluster FROM reach GROUP BY src),
+    sizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM labels GROUP BY cluster)
+    SELECT l.doc_id, l.cluster, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           l.doc_id = l.cluster AS is_keeper
+    FROM labels l JOIN sizes s USING (cluster)
+    """
+
+
 def q_rec_analysis_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 sparse-Mahalanobis recommender over a pivoted events matrix:
     per user, one column per event type (NULL = never did it) — the same
@@ -2199,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_presence_gate": q_window_presence_gate,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "column_stats_profile": q_column_stats_profile,
         "null_rate_gate": q_null_rate_gate,
         "uniqueness_violations": q_uniqueness_violations,
@@ -2262,6 +2302,7 @@ def oracle_sql() -> dict[str, str]:
         "window_presence_gate": o_window_presence_gate(),
         "dedup_embedding_cosine": o_dedup_embedding_cosine(),
         "dedup_embedding_lsh": o_dedup_embedding_lsh(),
+        "dedup_clusters": o_dedup_clusters(),
         "column_stats_profile": o_column_stats_profile(),
         "null_rate_gate": o_null_rate_gate(),
         "uniqueness_violations": o_uniqueness_violations(),

@@ -1,0 +1,111 @@
+"""Connected components over near-dup pair graphs: cluster labeling.
+
+Engine ADDITION beyond the reference (the R app has no graph stage) —
+completes the dedup operator family: the pair generators (MinHash-LSH,
+SimHash, embedding-LSH, 64-bit hamming) emit EDGES, but a cleaning
+pipeline needs one canonical keeper per duplicate CLUSTER, i.e. the
+connected component of the pair graph, not the pairs.
+
+Algorithm: min-label propagation. Every node starts labeled with its own
+id; each round a node adopts the minimum label among itself and its
+neighbors; at fixpoint every component carries its minimum member id.
+
+Scale shape per round: ONE shuffle join (edges keyed by ``v`` against
+labels keyed by ``node``) + a map-side-combined min-aggregation + a left
+join back — all standard distributed primitives; the edge list is cached
+once and reused. Rounds needed = graph diameter. For DEDUP graphs this
+is small by construction: duplicate clusters are near-cliques (every
+member shares most shingles/bits with every other, so LSH emits most of
+the clique edges), giving diameters of 1-3 regardless of corpus size.
+For adversarial long-chain graphs the alternating large-star/small-star
+scheme (Kiveris et al., "Connected Components in MapReduce and Beyond")
+converges in O(log²n) rounds with the same per-round plan shape — the
+propagation loop here is the right tool for the dedup workload, not a
+general graph engine.
+
+The driver loop is iteration control only (the brief's "no driver-side
+loops over collect()" anti-pattern moves DATA through the driver; here
+one scalar convergence aggregate crosses per round). ``localCheckpoint``
+truncates lineage each round so the plan does not grow with iterations.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def min_label_components(pairs: DataFrame, a: str = "a", b: str = "b",
+                         max_rounds: int = 50) -> DataFrame:
+    """(node, label) — connected-component labels for every node that
+    appears in ``pairs``; ``label`` is the component's minimum node id.
+
+    Nodes are the distinct endpoint ids (long). Singleton documents never
+    appear in a pair, so they are by definition their own keeper — the
+    caller unions them in if it wants total coverage (see
+    ``near_dup_clusters``).
+
+    Convergence is detected with a monotone scalar: labels only ever
+    decrease, so the exact decimal SUM of all labels strictly decreases
+    iff any label changed — one cheap aggregate per round instead of a
+    join-and-count diff.
+    """
+    edges = pairs.select(
+        F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v")
+    )
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().persist()
+
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint()
+    # decimal(38,0): overflow-free at any node-count/id scale
+    sig = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u").agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["label"],
+                    F.coalesce(F.col("nbr_min"), labels["label"]),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sig = new.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        labels = new
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    edges.unpersist()
+    return labels
+
+
+def near_dup_clusters(pairs: DataFrame, a: str = "a", b: str = "b",
+                      max_rounds: int = 50) -> DataFrame:
+    """(doc_id, cluster, cluster_size, is_keeper) for every node in the
+    pair graph: ``cluster`` = min member id (the canonical keeper),
+    ``is_keeper`` marks it, ``cluster_size`` counts members.
+
+    This is the keep/drop policy stage of a dedup pipeline: feed it any
+    pair generator's output and anti-join the non-keepers out of the
+    corpus. Cluster sizes come from one narrow count over the labels."""
+    labels = min_label_components(pairs, a, b, max_rounds)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster"),
+            "cluster_size",
+            (F.col("node") == F.col("label")).alias("is_keeper"),
+        )
+    )
