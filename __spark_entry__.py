@@ -2185,6 +2185,88 @@ def o_dedup_clusters() -> str:
     """
 
 
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (functions/text.py
+    gopher_quality_signals): token count, mean word length, 2-gram
+    repetition, alphabetic and stopword fractions, and the conjunction
+    pass flag — the public Rae-et-al rule family as map-only codegen
+    expressions."""
+    from anomalydetection_spark.functions.text import gopher_quality_signals
+
+    return gopher_quality_signals(_td(spark, sf_dir))
+
+
+def o_text_gopher_quality() -> str:
+    return """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), s AS (
+      SELECT doc_id,
+             LEN(tk) AS n,
+             list_sum(list_transform(tk, t -> LEN(t))) AS sum_len,
+             LEN(list_distinct(list_transform(range(1, LEN(tk)),
+                 i -> array_to_string(tk[i:i+1], ' ')))) AS d2,
+             LEN(list_filter(tk, t -> regexp_full_match(t, '[A-Za-z]+'))) AS n_alpha,
+             LEN(list_filter(tk,
+                 t -> list_contains(['the','a','of','and','to','in','is'], t))) AS n_stop
+      FROM d
+    ), r AS (
+      SELECT doc_id,
+             CAST(n AS BIGINT) AS n_tokens,
+             ROUND(CAST(sum_len AS DOUBLE) / n, 8) AS mean_word_len,
+             CASE WHEN n >= 2
+                  THEN ROUND(1.0 - CAST(d2 AS DOUBLE) / (n - 1), 8)
+                  ELSE 0.0 END AS dup_2gram_frac,
+             ROUND(CAST(n_alpha AS DOUBLE) / n, 8) AS alpha_frac,
+             ROUND(CAST(n_stop AS DOUBLE) / n, 8) AS stopword_frac
+      FROM s
+    )
+    SELECT *,
+           (n_tokens >= 5 AND n_tokens <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND dup_2gram_frac <= 0.3
+            AND alpha_frac >= 0.6
+            AND stopword_frac >= 0.01) AS quality_pass
+    FROM r
+    """
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination audit (functions/text.py
+    benchmark_contamination): fraction of each corpus document's
+    distinct 3-token shingles appearing in the benchmark set (the
+    deterministic doc_id % 17 == 3 slice stands in for a held-out eval
+    set). Broadcast benchmark shingles, one corpus scan."""
+    from anomalydetection_spark.functions.text import benchmark_contamination
+
+    d = _td(spark, sf_dir)
+    return benchmark_contamination(
+        d.filter(F.col("doc_id") % 17 != 3), d.filter(F.col("doc_id") % 17 == 3)
+    )
+
+
+def o_benchmark_contamination() -> str:
+    return """
+    WITH sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(range(1, LEN(tk) - 1),
+                    i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+      WHERE LEN(tk) >= 3
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 3),
+    corp AS (SELECT * FROM sh WHERE doc_id % 17 <> 3)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           ROUND(CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 8) AS contamination_frac
+    FROM corp c LEFT JOIN bench b USING (shingle)
+    GROUP BY c.doc_id
+    """
+
+
 def q_rec_analysis_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 sparse-Mahalanobis recommender over a pivoted events matrix:
     per user, one column per event type (NULL = never did it) — the same
@@ -2239,6 +2321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "text_gopher_quality": q_text_gopher_quality,
+        "benchmark_contamination": q_benchmark_contamination,
         "column_stats_profile": q_column_stats_profile,
         "null_rate_gate": q_null_rate_gate,
         "uniqueness_violations": q_uniqueness_violations,
@@ -2303,6 +2387,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": o_dedup_embedding_cosine(),
         "dedup_embedding_lsh": o_dedup_embedding_lsh(),
         "dedup_clusters": o_dedup_clusters(),
+        "text_gopher_quality": o_text_gopher_quality(),
+        "benchmark_contamination": o_benchmark_contamination(),
         "column_stats_profile": o_column_stats_profile(),
         "null_rate_gate": o_null_rate_gate(),
         "uniqueness_violations": o_uniqueness_violations(),

@@ -84,6 +84,13 @@ class Check(abc.ABC):
     #: killer; their stage must stay map-only over the raw scan).
     use_original: bool = False
 
+    #: Set by ``ValidationSuite.run`` to its ``with_violations`` flag
+    #: BEFORE any check job runs. Checks whose aggregate and violation
+    #: frames can share one expensive pass (the decode check) persist
+    #: that intermediate only when a violations consumer exists —
+    #: a verdicts-only run must not pay the cache-build cost.
+    cache_intermediates: bool = True
+
     def required_columns(self) -> list[str] | None:
         """Columns this check's stats/post/extra jobs read. The suite
         persists only the union of these (column pruning survives the

@@ -281,3 +281,112 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         f" i -> md5(substring(text, i, {gram}))))), 1, {keep})"
     )
     return docs.select(F.col(id_col).alias("id"), F.explode(fps).alias("fp"))
+
+
+GOPHER_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def gopher_quality_signals(docs: DataFrame, id_col: str = "doc_id",
+                           stopwords: list[str] | None = None) -> DataFrame:
+    """Gopher-style document quality signals (Rae et al. 2021, §A1.1 —
+    public rule set), per document, as pure JVM expressions:
+
+    * ``n_tokens`` — whitespace token count;
+    * ``mean_word_len`` — mean characters per token;
+    * ``dup_2gram_frac`` — 1 − |distinct 2-grams| / |2-grams|, the
+      within-document repetition signal;
+    * ``alpha_frac`` — fraction of purely alphabetic tokens;
+    * ``stopword_frac`` — fraction of tokens in a small stopword list
+      (Gopher's "has ≥2 stopwords" natural-language proxy);
+    * ``quality_pass`` — the conjunction of the Gopher-shaped bounds
+      (5 ≤ n ≤ 10⁵, 3 ≤ mean_word_len ≤ 10, repetition ≤ 0.3,
+      alpha ≥ 0.6, stopword ≥ 0.01).
+
+    Map-only, whole-stage-codegen'd, O(tokens) per document — composes
+    with the dedup/clean pipeline as a pre-filter ahead of the pair
+    generators. Ratios ROUND 8 so independent engines hash identically."""
+    sw = stopwords if stopwords is not None else GOPHER_STOPWORDS
+    d = docs.select(F.col(id_col).alias("doc_id"), F.split("text", " ").alias("tk"))
+    n = F.size("tk")
+    sum_len = F.aggregate(
+        F.transform(F.col("tk"), lambda t: F.length(t)),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+    two_grams = F.expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', slice(tk, i, 2)))"
+    )
+    sw_arr = F.array(*[F.lit(w) for w in sw])
+    mean_word_len = F.round(sum_len.cast("double") / n, 8)
+    dup_2gram = F.when(
+        n >= 2,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(two_grams)).cast("double")
+            / (n - F.lit(1)), 8
+        ),
+    ).otherwise(F.lit(0.0))
+    alpha = F.round(
+        F.size(F.filter(F.col("tk"), lambda t: t.rlike("^[A-Za-z]+$")))
+        .cast("double") / n, 8
+    )
+    stop = F.round(
+        F.size(F.filter(F.col("tk"), lambda t: F.array_contains(sw_arr, t)))
+        .cast("double") / n, 8
+    )
+    out = d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        dup_2gram.alias("dup_2gram_frac"),
+        alpha.alias("alpha_frac"),
+        stop.alias("stopword_frac"),
+    )
+    passed = (
+        (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000)
+        & (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+        & (F.col("dup_2gram_frac") <= 0.3)
+        & (F.col("alpha_frac") >= 0.6)
+        & (F.col("stopword_frac") >= 0.01)
+    )
+    return out.withColumn("quality_pass", passed)
+
+
+def benchmark_contamination(corpus: DataFrame, bench: DataFrame,
+                            id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-document eval-set contamination: the fraction of a document's
+    distinct n-token shingles that appear in ANY benchmark document —
+    the standard train/test overlap decontamination measure (as used for
+    the public n-gram-overlap audits of web-scale corpora).
+
+    Plan shape: the benchmark shingle set is a DISTINCT projection of
+    the (small) benchmark table, broadcast into a map-side left join
+    against the exploded corpus shingles; per-document fractions come
+    from one groupBy on ``doc_id``. The corpus is scanned once; shuffle
+    volume is (doc_id, hit) pairs — never text. At 10^12 docs the
+    benchmark side stays broadcastable by construction (eval sets are
+    tiny); if it ever weren't, the same plan degrades gracefully to a
+    shuffled equi-join on the shingle key."""
+    sh = token_shingles(n, "tk")
+    bench_sh = (
+        bench.select(F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= n)
+        .select(F.explode(sh).alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus_sh = (
+        corpus.select(F.col(id_col).alias("doc_id"), F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= n)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.round(F.col("n_contaminated").cast("double") / F.col("n_shingles"), 8),
+        )
+    )

@@ -144,11 +144,12 @@ class DecodeCheck(Check):
         Freed by ``reset()`` (next run) or ``release()`` (caller, once
         violations are consumed)."""
         if self._results is None:
-            from pyspark import StorageLevel
+            res = decode_results(df)
+            if self.cache_intermediates:
+                from pyspark import StorageLevel
 
-            self._results = decode_results(df).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+                res = res.persist(StorageLevel.MEMORY_AND_DISK)
+            self._results = res
         return self._results
 
     def run_extra(self, df: DataFrame, stats: dict | None = None) -> list[dict]:

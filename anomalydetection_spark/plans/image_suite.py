@@ -152,9 +152,10 @@ def run_image_validation(
     drift_baseline: dict | None = None,
     with_decode: bool = True,
     drift_baselines: dict[str, dict] | None = None,
+    with_violations: bool = True,
 ) -> SuiteResult:
     if fmt_dim is None:
         fmt_dim = ["jpeg", "png", "webp"]
     suite = build_image_suite(fmt_dim, drift_baseline, with_decode,
                               drift_baselines=drift_baselines)
-    return suite.run(images, spark)
+    return suite.run(images, spark, with_violations=with_violations)

@@ -142,6 +142,9 @@ class ValidationSuite:
         t0 = time.time()
         for c in self.checks:
             c.reset()  # drop models/caches fitted by a previous run()
+            # verdicts-only runs skip shared-pass caches (decode results):
+            # nothing will re-read them, so building the cache is pure cost
+            c.cache_intermediates = with_violations
         stats_df = self._stats_frame(df)
         if cache:
             stats_df = stats_df.persist()

@@ -63,7 +63,10 @@ def time_image_suite(spark, path: str, with_decode: bool,
 
     def one_run() -> float:
         t0 = time.perf_counter()
-        res = run_image_validation(spark, images, with_decode=with_decode)
+        # verdicts-only legs skip the decode-result cache build; the
+        # violations leg keeps it so its sink shares the single decode
+        res = run_image_validation(spark, images, with_decode=with_decode,
+                                   with_violations=write_violations)
         res.verdicts.write.format("noop").mode("overwrite").save()
         if write_violations and res.violations is not None:
             # round 3: the persisted narrow decode frame serves both the

@@ -379,3 +379,54 @@ def test_quarantine_split_partitions_exactly(spark):
     assert quarantined.count() == n_bad
     assert clean.count() == 200 - n_bad
     assert clean.join(quarantined, "image_id", "inner").count() == 0
+
+
+def test_gopher_quality_signals(spark):
+    from anomalydetection_spark.functions.text import gopher_quality_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog today"),
+            (2, "spam spam spam spam spam spam"),      # repetition fail
+            (3, "x1 9 !! ?? 77 zz"),                   # alpha + stopword fail
+            (4, "tiny"),                               # too short
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_signals(docs).collect()}
+    assert rows[1]["quality_pass"]
+    assert rows[1]["n_tokens"] == 10
+    assert rows[1]["dup_2gram_frac"] == 0.0
+    assert not rows[2]["quality_pass"]
+    assert rows[2]["dup_2gram_frac"] == 0.8  # 1 distinct 2-gram of 5
+    assert not rows[3]["quality_pass"]
+    assert rows[3]["alpha_frac"] == 0.16666667
+    assert not rows[4]["quality_pass"]
+    assert rows[4]["dup_2gram_frac"] == 0.0  # n<2 guard
+
+
+def test_benchmark_contamination(spark):
+    from anomalydetection_spark.functions.text import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # 3 shingles, 2 in bench
+            (2, "unrelated words entirely here"),
+            (3, "x y"),                             # too short: dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in benchmark_contamination(corpus, bench).collect()}
+    assert rows[1]["n_shingles"] == 3 and rows[1]["n_contaminated"] == 2
+    assert rows[1]["contamination_frac"] == 0.66666667
+    assert rows[2]["n_contaminated"] == 0
+    assert 3 not in rows
+    # plan: benchmark side broadcasts
+    df = benchmark_contamination(corpus, bench)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastExchange" in plan
