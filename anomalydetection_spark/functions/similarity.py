@@ -165,7 +165,17 @@ def _pair_cosine(pairs: DataFrame, threshold: float,
     )
 
 
-def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+#: cosine_near_dup_pairs refuses rerank sides beyond this many vectors —
+#: the audit path's "collect one side" contract is only valid for
+#: bounded candidate/rerank sets (at 64 float64 dims this cap is ~100 MB
+#: of driver/closure memory). Corpus-size inputs must route through
+#: cosine_near_dup_lsh (banded candidates) or IVF bucketing instead of
+#: silently OOM-ing the driver.
+MAX_RERANK_ROWS = 200_000
+
+
+def cosine_near_dup_pairs(emb: DataFrame, threshold: float,
+                          max_rerank_rows: int = MAX_RERANK_ROWS) -> DataFrame:
     """Exact all-pairs embedding near-dup: (a, b, cosine) with a < b and
     cosine >= threshold.
 
@@ -194,7 +204,16 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     import numpy as np
 
     dim = embedding_dim(emb)
-    b_rows = _with_norm(emb, "b", "eb", "nb2", dim).collect()
+    b_rows = _with_norm(emb, "b", "eb", "nb2", dim).limit(
+        max_rerank_rows + 1
+    ).collect()
+    if len(b_rows) > max_rerank_rows:
+        raise ValueError(
+            f"cosine_near_dup_pairs is the bounded audit/rerank path: the "
+            f"input exceeds max_rerank_rows={max_rerank_rows}; use "
+            f"cosine_near_dup_lsh (or IVF bucketing) for corpus-scale "
+            f"near-dup detection."
+        )
     bid = np.array([r["b"] for r in b_rows], dtype=np.int64)
     Bm = np.array([r["eb"] for r in b_rows], dtype=np.float64)
     nb2 = np.array([r["nb2"] for r in b_rows], dtype=np.float64)

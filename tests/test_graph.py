@@ -92,3 +92,50 @@ def test_label_monotone_and_converged(spark):
         )
     )
     assert joined.filter(F.col("la") != F.col("lb")).count() == 0
+
+
+def test_star_components_matches_union_find_and_propagation(spark):
+    from anomalydetection_spark.functions.graph import star_components
+
+    cases = {
+        # adversarial for propagation: one long chain (diameter 19)
+        "chain": [(i, i + 1) for i in range(19)],
+        # two cliques bridged by a chain + noise ids
+        "mixed": [(0, 1), (1, 2), (0, 2), (2, 50), (50, 51), (51, 52),
+                  (52, 90), (90, 91), (91, 92), (90, 92), (7, 7)],
+    }
+    rng = random.Random(11)
+    cases["random"] = [
+        (rng.randrange(80), rng.randrange(80)) for _ in range(50)
+    ]
+
+    for name, edges in cases.items():
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(100))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {n for e in edges for n in e}
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        want = {n: min(members) for members in comp.values() for n in members}
+
+        df = _pairs_df(spark, edges)
+        got_star = {
+            r["node"]: r["label"] for r in star_components(df).collect()
+        }
+        assert got_star == want, name
+        got_prop = {
+            r["node"]: r["label"]
+            for r in min_label_components(df).collect()
+        }
+        assert got_prop == got_star, name
