@@ -103,15 +103,14 @@ def screen_columns(df: DataFrame, cols: list[str],
     return keep
 
 
-def pairwise_correlations(df: DataFrame, cols: list[str]) -> np.ndarray:
-    """Pairwise-complete Pearson correlation matrix (R ``cor(...,
-    use='pairwise.complete.obs')``) from ONE aggregation of per-pair
-    co-observed moments."""
-    k = len(cols)
+def _pairwise_corr_aggs(cols: list[str]) -> list:
+    """Aggregation expressions for the pairwise-complete correlation
+    matrix — split out so callers can fuse them with other per-column
+    stats into ONE job."""
     aggs = []
     for i, ci in enumerate(cols):
         xi = F.col(ci).cast("double")
-        for j in range(i, k):
+        for j in range(i, len(cols)):
             xj = F.col(cols[j]).cast("double")
             both = F.col(ci).isNotNull() & F.col(cols[j]).isNotNull()
             aggs += [
@@ -122,7 +121,10 @@ def pairwise_correlations(df: DataFrame, cols: list[str]) -> np.ndarray:
                 F.sum(F.when(both, xj * xj)).alias(f"sjj_{i}_{j}"),
                 F.sum(F.when(both, xi * xj)).alias(f"sij_{i}_{j}"),
             ]
-    row = df.agg(*aggs).first()
+    return aggs
+
+
+def _corr_from_row(row, k: int) -> np.ndarray:
     C = np.full((k, k), np.nan)
     for i in range(k):
         for j in range(i, k):
@@ -137,8 +139,17 @@ def pairwise_correlations(df: DataFrame, cols: list[str]) -> np.ndarray:
     return C
 
 
+def pairwise_correlations(df: DataFrame, cols: list[str]) -> np.ndarray:
+    """Pairwise-complete Pearson correlation matrix (R ``cor(...,
+    use='pairwise.complete.obs')``) from ONE aggregation of per-pair
+    co-observed moments."""
+    row = df.agg(*_pairwise_corr_aggs(cols)).first()
+    return _corr_from_row(row, len(cols))
+
+
 def screen_collinear_drop(df: DataFrame, cols: list[str],
-                          cutoff: float = 0.95) -> list[str]:
+                          cutoff: float = 0.95,
+                          C: np.ndarray | None = None) -> list[str]:
     """K1 stage 3, App variant (``App/utils.R:131-146``), exact
     semantics: while any UPPER-TRIANGLE pairwise-complete correlation
     exceeds ``cutoff`` (SIGNED — only positive correlations trigger, as
@@ -146,8 +157,10 @@ def screen_collinear_drop(df: DataFrame, cols: list[str],
     variable) of the FIRST violating pair in column-major melt order.
     Dropping a column never changes the remaining pairwise-complete
     correlations, so ONE aggregation suffices — the reference's per-drop
-    recompute is replayed driver-side on the same matrix."""
-    C = pairwise_correlations(df, cols)
+    recompute is replayed driver-side on the same matrix. Pass ``C`` (a
+    precomputed pairwise matrix for exactly ``cols``) to skip the job."""
+    if C is None:
+        C = pairwise_correlations(df, cols)
     keep = list(range(len(cols)))
     while True:
         first = None
@@ -165,13 +178,15 @@ def screen_collinear_drop(df: DataFrame, cols: list[str],
 
 
 def flag_collinear_prime(df: DataFrame, cols: list[str],
-                         cutoff: float = 0.99) -> list[str]:
+                         cutoff: float = 0.99,
+                         C: np.ndarray | None = None) -> list[str]:
     """K1 stage 3, PRIME variant's detection step
     (``PRIME_App/utils.R:131-137``): columns flagged by
     ``caret::findCorrelation(cutoff)`` — for each |r|>cutoff pair, flag
     the member with the larger mean absolute correlation (caret's
     heuristic)."""
-    C = pairwise_correlations(df, cols)
+    if C is None:
+        C = pairwise_correlations(df, cols)
     k = len(cols)
     absC = np.abs(C)
     mean_abs = np.array([np.nanmean(np.delete(absC[i], i)) if k > 1 else 0.0
@@ -222,6 +237,7 @@ def run_rec_analysis(
     collinearity: str | None = "drop",
     collinear_cutoff: float | None = None,
     salt_buckets: int = 64,
+    persist: bool = True,
 ) -> DataFrame:
     """Full K1 pipeline. Returns keys + x + E_/D_ + MD + outlier_sp.
 
@@ -235,18 +251,46 @@ def run_rec_analysis(
     rows and an unsalted groupBy would land the whole table on a single
     task. Scoring is row-independent given the pattern, so salting is
     output-identical while spreading each pattern over ``salt_buckets``
-    tasks."""
-    cols = screen_columns(df, indicator_cols, min_presence)
+    tasks.
+
+    Pass discipline: the input matrix is persisted for the kernel's
+    lifetime and every screen statistic (presence, variance, stddev,
+    pairwise correlation moments) comes from ONE fused aggregation —
+    pairwise-complete correlations don't change when other columns are
+    screened out, so the full matrix is computed once and subset
+    driver-side. The scored frame is persisted and materialized before
+    the final sort so the range-partitioner's sampling pass and the sort
+    itself share a single execution of the scoring UDF (an unpersisted
+    global sort runs the whole UDF stage twice). ``persist=False``
+    restores the fully-lazy multi-pass behavior."""
+    cached_input = None
+    if persist:
+        df = cached_input = df.persist()
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in indicator_cols:
+        aggs.append(F.count(F.col(c)).alias(f"scr_n_{c}"))
+        aggs.append(F.var_samp(F.col(c).cast("double")).alias(f"scr_v_{c}"))
+        aggs.append(F.stddev_samp(F.col(c).cast("double")).alias(f"scr_sd_{c}"))
+    aggs += _pairwise_corr_aggs(indicator_cols)
+    srow = df.agg(*aggs).first()
+    total = srow["__rows"] or 1
+    # stages 1-2 (exact screen_columns semantics — see its docstring)
+    cols = [c for c in indicator_cols
+            if (srow[f"scr_n_{c}"] or 0) / total > min_presence
+            and (srow[f"scr_v_{c}"] is None or srow[f"scr_v_{c}"] != 0)]
+    C_full = _corr_from_row(srow, len(indicator_cols))
+    idx = [indicator_cols.index(c) for c in cols]
+    C_sub = C_full[np.ix_(idx, idx)]
     if collinearity == "drop" and len(cols) > 1:
-        cols = screen_collinear_drop(df, cols, collinear_cutoff or 0.95)
+        cols = screen_collinear_drop(df, cols, collinear_cutoff or 0.95,
+                                     C=C_sub)
     elif collinearity == "noise" and len(cols) > 1:
-        noisy = flag_collinear_prime(df, cols, collinear_cutoff or 0.99)
+        noisy = flag_collinear_prime(df, cols, collinear_cutoff or 0.99,
+                                     C=C_sub)
         if noisy:
-            sd_row = df.agg(*[
-                F.stddev_samp(F.col(c).cast("double")).alias(c) for c in noisy
-            ]).first()
             df = inject_noise(df, keys, noisy,
-                              {c: float(sd_row[c] or 0.0) for c in noisy})
+                              {c: float(srow[f"scr_sd_{c}"] or 0.0)
+                               for c in noisy})
     k = len(cols)
     if k == 0:
         raise ValueError("no indicator columns survive the screens")
@@ -341,6 +385,12 @@ def run_rec_analysis(
         .groupBy("__pattern", "__salt")
         .applyInPandas(score, out_schema)
     )
+    if persist:
+        # one UDF execution serves both the sort's sampling pass and the
+        # sort; the input cache is released once results are materialized
+        scored = scored.persist()
+        scored.count()
+        cached_input.unpersist()
     return scored.orderBy(F.desc("outlier_sp"), F.desc("MD"))
 
 

