@@ -27,11 +27,17 @@ from anomalydetection_spark.synth import pattern_pixels
 
 DECODE_RESULT_SCHEMA = (
     "image_id string, fmt string, decode_ok boolean, width int, height int, "
-    "psnr_db double, pixels_match boolean, caption_match boolean"
+    "psnr_db double, pixels_match boolean, caption_match boolean, "
+    "phash_hamming int, phash_ok boolean"
 )
 
 PSNR_MIN_LOSSY = 40.0
 LOSSLESS_FMTS = {"png"}
+# stored-phash consistency: the recomputed perceptual hash of the decoded
+# pixels must equal the table's phash column bit-for-bit on lossless
+# payloads; the lossy quantizer flips mean-threshold bits that sit near
+# the mean — measured ≤3 of 64 bits over the codec's step, enforced at 2×
+PHASH_MAX_HAMMING_LOSSY = 6
 
 
 def _reference_pixels(image_id: str, w: int, h: int) -> np.ndarray | None:
@@ -48,23 +54,32 @@ def decode_validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (image_id, bytes, fmt, caption) → decode +
     caption-equality verdicts (both per-row invariants from
     BASELINE.json input_hint, one Arrow pass)."""
-    from anomalydetection_spark.synth import reference_caption
+    from anomalydetection_spark.synth import phash_of, reference_caption
 
     for pdf in batches:
         out = {k: [] for k in
                ("image_id", "fmt", "decode_ok", "width", "height", "psnr_db",
-                "pixels_match", "caption_match")}
+                "pixels_match", "caption_match", "phash_hamming", "phash_ok")}
         captions = pdf["caption"] if "caption" in pdf.columns else [None] * len(pdf)
-        for image_id, data, fmt, caption in zip(
-            pdf["image_id"], pdf["bytes"], pdf["fmt"], captions
+        phashes = pdf["phash"] if "phash" in pdf.columns else [None] * len(pdf)
+        for image_id, data, fmt, caption, stored_ph in zip(
+            pdf["image_id"], pdf["bytes"], pdf["fmt"], captions, phashes
         ):
             ok, w = True, None
             h = None
             p_db = None
             match = None
+            ph_dist = None
+            ph_ok = None
             try:
                 px = decode_image(bytes(data), fmt)
                 h, w = int(px.shape[0]), int(px.shape[1])
+                if stored_ph is not None and not pd.isna(stored_ph):
+                    ph_dist = int(bin(
+                        (phash_of(px) ^ int(stored_ph)) & ((1 << 64) - 1)
+                    ).count("1"))
+                    ph_ok = ph_dist == 0 if fmt in LOSSLESS_FMTS \
+                        else ph_dist <= PHASH_MAX_HAMMING_LOSSY
                 ref = _reference_pixels(image_id, w, h)
                 if ref is not None and ref.shape == px.shape:
                     p_db = psnr(ref, px)
@@ -92,14 +107,16 @@ def decode_validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["psnr_db"].append(p_db)
             out["pixels_match"].append(match)
             out["caption_match"].append(bool(cap_ok))
+            out["phash_hamming"].append(ph_dist)
+            out["phash_ok"].append(ph_ok)
         yield pd.DataFrame(out)
 
 
 def decode_results(images: DataFrame) -> DataFrame:
     """Narrow → decode → verdict frame. Map-only: no shuffle of bytes."""
-    cols = ["image_id", "bytes", "fmt"] + (
-        ["caption"] if "caption" in images.columns else []
-    )
+    cols = ["image_id", "bytes", "fmt"] + [
+        c for c in ("caption", "phash") if c in images.columns
+    ]
     return images.select(*cols).mapInPandas(
         decode_validate, DECODE_RESULT_SCHEMA
     )
@@ -116,11 +133,18 @@ class DecodeCheck(Check):
     use_original = True
 
     def __init__(self, max_violation_rate: float = 0.0,
-                 max_caption_mismatch_rate: float = 0.01):
+                 max_caption_mismatch_rate: float = 0.01,
+                 max_phash_mismatch_rate: float | None = None):
         self.max_violation_rate = max_violation_rate
         # planted null/empty captions and dup-id rows legitimately fail
         # caption equality; default tolerance covers the synth plant rates
         self.max_caption_mismatch_rate = max_caption_mismatch_rate
+        # stored-phash consistency (phash column vs the hash recomputed
+        # from decoded pixels) is opt-in: None computes the per-row
+        # columns but emits no verdict. Hot-key rows whose phash was
+        # overwritten upstream genuinely mismatch, so real tables set a
+        # tolerance at their known hot-row rate.
+        self.max_phash_mismatch_rate = max_phash_mismatch_rate
         self.name = "decode:bytes"
         self._results: DataFrame | None = None
 
@@ -158,10 +182,17 @@ class DecodeCheck(Check):
             F.sum((~F.col("decode_ok")).cast("long")).alias("bad_decode"),
             F.sum((~F.coalesce(F.col("pixels_match"), F.lit(False))).cast("long")).alias("bad_pixels"),
             F.sum((~F.col("caption_match")).cast("long")).alias("bad_captions"),
+            F.sum((F.col("phash_ok") == F.lit(False)).cast("long")).alias("bad_phash"),
             F.min("psnr_db").alias("min_psnr"),
         ).first()
         n = agg["n"] or 1
-        return [
+        extra = []
+        if self.max_phash_mismatch_rate is not None:
+            extra.append(verdict(
+                self.name, "phash", "phash_mismatch_rate",
+                (agg["bad_phash"] or 0) / n, None,
+                self.max_phash_mismatch_rate))
+        return extra + [
             verdict(self.name, "bytes", "decode_failure_rate",
                     (agg["bad_decode"] or 0) / n, None, self.max_violation_rate),
             verdict(self.name, "bytes", "pixel_mismatch_rate",
@@ -173,13 +204,16 @@ class DecodeCheck(Check):
         ]
 
     def violations(self, df: DataFrame) -> DataFrame | None:
+        pred = (
+            ~F.col("decode_ok")
+            | ~F.coalesce(F.col("pixels_match"), F.lit(False))
+            | ~F.col("caption_match")
+        )
+        if self.max_phash_mismatch_rate is not None:
+            pred = pred | (F.col("phash_ok") == F.lit(False))
         return (
             self._res(df)
-            .filter(
-                ~F.col("decode_ok")
-                | ~F.coalesce(F.col("pixels_match"), F.lit(False))
-                | ~F.col("caption_match")
-            )
-            .select("image_id", "fmt", "psnr_db")
+            .filter(pred)
+            .select("image_id", "fmt", "psnr_db", "phash_hamming")
             .withColumn(VIOLATION_KEY_COL, F.lit(self.name))
         )

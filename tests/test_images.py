@@ -88,6 +88,42 @@ def test_decode_results_invariants(spark, images_pd, images_df):
     assert float(lossy["psnr_db"].min()) >= 40.0
 
 
+def test_phash_consistency_invariant(spark, images_pd, images_df):
+    """Stored-phash consistency: the hash recomputed from decoded pixels
+    must match the phash column (exactly for lossless, ≤6/64 bits through
+    the lossy quantizer). The planted hot-key rows — whose stored phash
+    was overwritten with the skew constant — are exactly the mismatches;
+    dup-id rows copy content AND phash from their source row, so they
+    stay consistent."""
+    from anomalydetection_spark.synth import HOT_PHASH
+
+    pdf, man = images_pd
+    res = decode_results(images_df).toPandas()
+    corrupt = set(man[man["check"] == "decode:bytes"]["image_id"])
+    expected = set(
+        pdf[(pdf["phash"] == HOT_PHASH) & ~pdf["image_id"].isin(corrupt)]
+        ["image_id"])
+    flagged = set(res[res["phash_ok"] == False]["image_id"])  # noqa: E712
+    assert flagged == expected and len(expected) > 0
+    # consistent rows: lossless exact, lossy within the measured envelope
+    ok = res[res["phash_ok"] == True]  # noqa: E712
+    assert int(ok[ok["fmt"] == "png"]["phash_hamming"].max()) == 0
+    assert int(ok["phash_hamming"].max()) <= 6
+    # opt-in verdict: tolerance at the hot-row rate passes, 0 bites
+    chk = DecodeCheck(max_phash_mismatch_rate=0.05)
+    v = {r["metric"]: r for r in chk.run_extra(images_df)}
+    assert v["phash_mismatch_rate"]["passed"]
+    assert v["phash_mismatch_rate"]["value"] == len(
+        res[res["phash_ok"] == False]) / len(res)  # noqa: E712
+    chk.release()
+    strict = DecodeCheck(max_phash_mismatch_rate=0.0)
+    sv = {r["metric"]: r for r in strict.run_extra(images_df)}
+    assert not sv["phash_mismatch_rate"]["passed"]
+    bad = strict.violations(images_df).toPandas()
+    assert expected <= set(bad["image_id"])
+    strict.release()
+
+
 def test_image_suite_end_to_end(spark, images_pd, images_df):
     pdf, man = images_pd
     res = run_image_validation(spark, images_df, fmt_dimension(spark))

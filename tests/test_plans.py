@@ -77,7 +77,10 @@ def test_decode_path_is_map_only(spark, images_path):
     plan = plan_of(decode_results(df))
     assert "Exchange" not in plan, "bytes must never cross a shuffle"
     schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
-    assert "bytes" in schema and "phash" not in schema  # narrow projection
+    # narrow projection: bytes + the invariant inputs (caption, phash —
+    # 8 B/row), never the unused metadata columns
+    cols = {c.split(":")[0] for c in schema.split(",")}
+    assert "bytes" in cols and "w" not in cols and "h" not in cols
 
 
 def test_decode_runs_once_per_suite_run(spark, images_path):
