@@ -106,6 +106,7 @@ def build_image_suite(
     with_decode: bool = True,
     partition_by: list[str] = ("fmt",),
     drift_baselines: dict[str, dict] | None = None,
+    max_phash_mismatch_rate: float | None = None,
 ) -> ValidationSuite:
     checks = [
         image_schema_check(),
@@ -141,7 +142,9 @@ def build_image_suite(
     if with_decode:
         from anomalydetection_spark.image_udfs import DecodeCheck
 
-        checks.append(DecodeCheck(max_violation_rate=0.001))
+        checks.append(DecodeCheck(
+            max_violation_rate=0.001,
+            max_phash_mismatch_rate=max_phash_mismatch_rate))
     return ValidationSuite(checks, table_name="images", partition_by=list(partition_by))
 
 

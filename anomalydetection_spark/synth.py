@@ -66,16 +66,15 @@ def pattern_pixels(w: int, h: int, i: int) -> np.ndarray:
 
 
 def phash_of(pixels: np.ndarray) -> int:
-    """8×8 mean-threshold perceptual hash → signed int64."""
+    """8×8 mean-threshold perceptual hash → signed int64. Grayscale is
+    taken at the 64 sample points only — bit-identical to graying the
+    full image first (channel mean is pointwise), O(64) not O(w·h)."""
     h, w, _ = pixels.shape
-    gray = pixels.mean(axis=2)
     ys = (np.arange(8) * h) // 8
     xs = (np.arange(8) * w) // 8
-    small = gray[np.ix_(ys, xs)]
+    small = pixels[np.ix_(ys, xs)].mean(axis=2)
     bits = (small > small.mean()).flatten()
-    v = 0
-    for bit in bits:
-        v = (v << 1) | int(bit)
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v
 
 

@@ -43,6 +43,9 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--no-decode", action="store_true",
                     help="skip the decode/PSNR check (metadata-only suite)")
+    ap.add_argument("--max-phash-mismatch-rate", type=float, default=None,
+                    help="enable the stored-phash consistency gate at this "
+                         "tolerance (set >= the table's known hot-key rate)")
     ap.add_argument("--allow-snapshot-change", action="store_true")
     args = ap.parse_args()
 
@@ -55,7 +58,8 @@ def main() -> None:
 
     images = spark.read.parquet(args.input)
     suite = build_image_suite(
-        ["jpeg", "png", "webp"], with_decode=not args.no_decode
+        ["jpeg", "png", "webp"], with_decode=not args.no_decode,
+        max_phash_mismatch_rate=args.max_phash_mismatch_rate,
     )
     runner = CheckpointedRunner(
         suite,
