@@ -1041,7 +1041,10 @@ def _price_hist(li: DataFrame):
     import numpy as np
 
     pdf = (
-        li.groupBy(F.col("l_extendedprice").cast("double").alias("v"))
+        li.filter(F.col("l_extendedprice").isNotNull())  # percentile/
+        # quantile_cont ignore NULLs; without this a NULL group would
+        # enter the histogram as a NaN key and shift every position
+        .groupBy(F.col("l_extendedprice").cast("double").alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
         .toPandas()
     )

@@ -172,6 +172,14 @@ class CheckpointedRunner:
         self.stage_buckets = stage_buckets
 
     # -- ledger primitives -------------------------------------------------
+    def _unit_scheme(self) -> str:
+        """Identity of the unit PARTITIONING: a committed unit is only
+        resumable when the rows its label denotes are the same set —
+        which depends on the bucketing config, not just the label."""
+        if self.bucket_key is not None:
+            return f"bucket:{self.bucket_key}:n{self.n_buckets}"
+        return f"col:{self.unit_col}"
+
     def _ledger_path(self, unit: str) -> str:
         return os.path.join(self.out_dir, LEDGER_DIR, f"{unit}.json")
 
@@ -191,6 +199,11 @@ class CheckpointedRunner:
             return None
         with open(path) as f:
             rec = json.load(f)
+        if rec.get("unit_scheme") != self._unit_scheme():
+            # same unit LABEL, different unit CONTENTS: a bucket=0003
+            # committed under pmod(hash, 4) covers different rows than
+            # bucket=0003 under pmod(hash, 8) — stale, re-run
+            return None
         if rec.get("snapshot") != snapshot and not self.allow_snapshot_change:
             raise RuntimeError(
                 f"unit {unit!r} was committed against snapshot "
@@ -211,10 +224,13 @@ class CheckpointedRunner:
         on plain unpartitioned parquet whenever n_buckets is more than
         ~2-3; an Iceberg table bucket-partitioned on the key needs
         neither (unit predicates prune natively). The staging copy is
-        keyed by the input snapshot fingerprint, so a resumed run reuses
-        it and a changed input restages."""
+        keyed by the input snapshot fingerprint AND the bucket config
+        (n_buckets, bucket_key) — a rerun with a different bucket count
+        or key must restage, or its units would partition-prune against
+        a stale layout and silently validate zero rows."""
         spark = df.sparkSession
-        tag = snapshot.replace(":", "_").replace("/", "_")
+        tag = (f"{snapshot}__{self.bucket_key}__n{self.n_buckets}"
+               .replace(":", "_").replace("/", "_"))
         staged = os.path.join(self.out_dir, "_staging", tag)
         if not os.path.exists(os.path.join(staged, "_SUCCESS")):
             b = F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.n_buckets))
@@ -309,7 +325,8 @@ class CheckpointedRunner:
             failed = len([v for v in vlocal if not v["passed"]])
             elapsed = time.time() - t0
             payload = {
-                "unit": unit, "snapshot": snapshot, "rows": rows,
+                "unit": unit, "snapshot": snapshot,
+                "unit_scheme": self._unit_scheme(), "rows": rows,
                 "checks": len(self.suite.checks), "verdicts": len(vlocal),
                 "failed": failed, "violation_rows": viol_rows,
                 "elapsed_sec": round(elapsed, 3),

@@ -63,6 +63,7 @@ def min_label_components(pairs: DataFrame, a: str = "a", b: str = "b",
     # decimal(38,0): overflow-free at any node-count/id scale
     sig = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
 
+    converged = False
     for _ in range(max_rounds):
         nbr = (
             edges.join(labels, edges["v"] == labels["node"])
@@ -82,10 +83,18 @@ def min_label_components(pairs: DataFrame, a: str = "a", b: str = "b",
         new_sig = new.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         labels = new
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
 
     edges.unpersist()
+    if not converged:
+        # partially-propagated labels would silently split true clusters
+        # (multiple keepers per component) — refuse to return them
+        raise RuntimeError(
+            f"min_label_components did not converge in {max_rounds} rounds "
+            f"(component diameter exceeds max_rounds); raise max_rounds or "
+            f"use algorithm='star' (O(log^2 n) on any topology)")
     return labels
 
 
@@ -125,16 +134,20 @@ def star_components(pairs: DataFrame, a: str = "a", b: str = "b",
     variant when cluster diameter is unbounded; dedup graphs
     (near-clique clusters, diameter 1-3) converge faster under plain
     propagation."""
-    edges = _canon(pairs.select(
+    raw = pairs.select(
         F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v")
-    ))
+    )
+    # node set from the RAW pairs: a node whose only edges are self-loops
+    # must still appear in the output (as its own singleton), matching
+    # min_label_components — _canon drops the loops before iteration
     nodes = (
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    edges = edges.localCheckpoint()
+    edges = _canon(raw).localCheckpoint()
+    converged = False
     for _ in range(max_rounds):
         prev = edges
         # large-star: every neighbor LARGER than u rewires to
@@ -157,7 +170,12 @@ def star_components(pairs: DataFrame, a: str = "a", b: str = "b",
         )
         edges = _canon(small).localCheckpoint()
         if _same_edges(edges, prev):
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"star_components did not reach its edge-set fixpoint in "
+            f"{max_rounds} rounds; raise max_rounds")
     # fixpoint: edges form stars (child, root=min member); roots label
     # themselves, nodes isolated by self-loop removal keep their own id
     labels = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))

@@ -34,18 +34,24 @@ def heavy_hitters(df: DataFrame, key: str, min_share: float = 0.001,
     aims at ~1M sampled rows), map-side combined — the output is at most
     1/min_share rows, always broadcastable.
 
-    Job shape: ONE metadata-only ``df.count()`` (parquet row-group
-    stats, no data scan) + the sampled aggregation itself. The share
-    denominator is the EXPECTED sample size (total × fraction) rather
-    than a separately-counted realized size — shares are estimates
-    either way (binomial sampling noise dominates), and this saves a
-    second scan of the sample; at fraction=1.0 the two coincide
-    exactly."""
-    total = df.count()  # metadata-only count (parquet row-group stats)
+    Job shape, auto-fraction: ONE ``df.count()`` (metadata-only on raw
+    parquet scans) to size the sample + the sampled aggregation; the
+    share denominator is the EXPECTED sample size (total × fraction) —
+    shares are estimates either way (binomial sampling noise dominates).
+    With an EXPLICIT ``sample_fraction`` the input is never counted (on
+    a derived/filtered frame that count would be a full scan — the exact
+    cost the sampled pre-pass exists to avoid): the denominator is the
+    realized sample size, one narrow pass over the fraction-sized sample
+    (deterministic under the fixed seed). At fraction=1.0 expected and
+    realized coincide exactly."""
     if sample_fraction is None:
+        total = df.count()  # metadata-only on raw parquet scans
         sample_fraction = min(1.0, 1_000_000 / max(total, 1))
-    n_est = max(float(total) * sample_fraction, 1.0)
-    s = df.sample(fraction=sample_fraction, seed=42).select(key)
+        n_est = max(float(total) * sample_fraction, 1.0)
+        s = df.sample(fraction=sample_fraction, seed=42).select(key)
+    else:
+        s = df.sample(fraction=sample_fraction, seed=42).select(key)
+        n_est = max(float(s.count()), 1.0)
     return (
         s.groupBy(key)
         .agg(F.count(F.lit(1)).alias("cnt"))

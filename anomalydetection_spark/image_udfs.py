@@ -183,15 +183,20 @@ class DecodeCheck(Check):
             F.sum((~F.coalesce(F.col("pixels_match"), F.lit(False))).cast("long")).alias("bad_pixels"),
             F.sum((~F.col("caption_match")).cast("long")).alias("bad_captions"),
             F.sum((F.col("phash_ok") == F.lit(False)).cast("long")).alias("bad_phash"),
+            F.sum(F.col("phash_ok").isNotNull().cast("long")).alias("n_phash"),
             F.min("psnr_db").alias("min_psnr"),
         ).first()
         n = agg["n"] or 1
         extra = []
         if self.max_phash_mismatch_rate is not None:
+            # rate over rows actually COMPARED (decoded + stored phash
+            # present); zero compared rows -> value None -> verdict fails
+            # rather than vacuously passing on a phash-less table
+            checked = agg["n_phash"] or 0
             extra.append(verdict(
                 self.name, "phash", "phash_mismatch_rate",
-                (agg["bad_phash"] or 0) / n, None,
-                self.max_phash_mismatch_rate))
+                (agg["bad_phash"] or 0) / checked if checked else None,
+                None, self.max_phash_mismatch_rate))
         return extra + [
             verdict(self.name, "bytes", "decode_failure_rate",
                     (agg["bad_decode"] or 0) / n, None, self.max_violation_rate),

@@ -262,10 +262,47 @@ def run_rec_analysis(
     the final sort so the range-partitioner's sampling pass and the sort
     itself share a single execution of the scoring UDF (an unpersisted
     global sort runs the whole UDF stage twice). ``persist=False``
-    restores the fully-lazy multi-pass behavior."""
+    restores the fully-lazy multi-pass behavior. The scored cache backs
+    the RETURNED frame, so it cannot be freed here — the previous call's
+    cache is released on the next call, and ``release_rec_analysis()``
+    frees the last one explicitly (long-lived drivers)."""
     cached_input = None
     if persist:
+        release_rec_analysis()
         df = cached_input = df.persist()
+        try:
+            return _run_rec_analysis_body(
+                df, keys, indicator_cols, min_presence, min_row_obs, alpha,
+                compat_df_quirk, estimates_for_flagged_only, collinearity,
+                collinear_cutoff, salt_buckets, persist, cached_input)
+        except BaseException:
+            cached_input.unpersist(blocking=False)
+            raise
+    return _run_rec_analysis_body(
+        df, keys, indicator_cols, min_presence, min_row_obs, alpha,
+        compat_df_quirk, estimates_for_flagged_only, collinearity,
+        collinear_cutoff, salt_buckets, persist, cached_input)
+
+
+_SCORED_CACHE = None
+
+
+def release_rec_analysis() -> None:
+    """Unpersist the scored-frame cache left by the most recent
+    ``run_rec_analysis(persist=True)`` call (it backs the returned
+    DataFrame, so the kernel cannot free it before returning)."""
+    global _SCORED_CACHE
+    if _SCORED_CACHE is not None:
+        _SCORED_CACHE.unpersist(blocking=False)
+        _SCORED_CACHE = None
+
+
+def _run_rec_analysis_body(
+    df, keys, indicator_cols, min_presence, min_row_obs, alpha,
+    compat_df_quirk, estimates_for_flagged_only, collinearity,
+    collinear_cutoff, salt_buckets, persist, cached_input,
+) -> DataFrame:
+    global _SCORED_CACHE
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in indicator_cols:
         aggs.append(F.count(F.col(c)).alias(f"scr_n_{c}"))
@@ -391,6 +428,7 @@ def run_rec_analysis(
         scored = scored.persist()
         scored.count()
         cached_input.unpersist()
+        _SCORED_CACHE = scored
     return scored.orderBy(F.desc("outlier_sp"), F.desc("MD"))
 
 

@@ -225,8 +225,10 @@ def _holt_grid(a: np.ndarray) -> tuple[float, np.ndarray]:
 
     Elementwise-identical to calling ``_holt_once`` per cell (same double
     ops broadcast over the cell axis; each residual row is contiguous, so
-    the per-cell ``r @ r`` SSE and the scan-order first-min selection
-    reproduce the sequential search bit-for-bit) but ~65× fewer Python
+    the per-cell ``r @ r`` SSE and the scan-order selection with the
+    sequential search's exact tie rule — ``sse < best - 1e-12`` keeps the
+    EARLIER grid cell on near-ties — reproduce it bit-for-bit, asserted
+    in ``tests/test_kernels.py``) but ~65× fewer Python
     loop iterations: the t-loop runs once over |grid| lanes instead of
     once per cell. Measured 12.0s → 0.35s on 7,500 24-point series."""
     G = len(_HOLT_AL)

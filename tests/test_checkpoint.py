@@ -245,3 +245,20 @@ def test_sink_violations_carry_severity_column(spark, image_table, tmp_path):
     assert "severity" in v.columns
     vals = {r["severity"] for r in v.select("severity").distinct().collect()}
     assert vals and vals <= {"high", "medium", "low", None}
+
+
+def test_staged_bucket_restages_on_config_change(spark, image_table, tmp_path):
+    """The staging copy is keyed by (snapshot, bucket_key, n_buckets): a
+    rerun with a different bucket count must restage, not partition-prune
+    against the stale 4-bucket layout (which would validate zero rows for
+    buckets 4-7)."""
+    df = spark.read.parquet(image_table)
+    out = str(tmp_path / "staged")
+    CheckpointedRunner(
+        _suite(), out, bucket_key="image_id", n_buckets=4, stage_buckets=True
+    ).run(df, input_path=image_table)
+    r8 = CheckpointedRunner(
+        _suite(), out, bucket_key="image_id", n_buckets=8, stage_buckets=True
+    ).run(df, input_path=image_table)
+    assert sum(u.rows for u in r8.units) == 2000  # every row revalidated
+    assert len(os.listdir(os.path.join(out, "_staging"))) == 2

@@ -8,6 +8,7 @@ import pytest
 from anomalydetection_spark.functions.graph import (
     min_label_components,
     near_dup_clusters,
+    star_components,
 )
 
 
@@ -139,3 +140,27 @@ def test_star_components_matches_union_find_and_propagation(spark):
             for r in min_label_components(df).collect()
         }
         assert got_prop == got_star, name
+
+
+def test_self_loop_only_nodes_survive_both_algorithms(spark):
+    """A node whose only edges are self-loops must appear as its own
+    singleton in BOTH algorithms (star_components derives its node set
+    before self-loop canonicalization)."""
+    df = _pairs_df(spark, [(7, 7), (1, 2)])
+    want = {7: 7, 1: 1, 2: 1}
+    for fn in (min_label_components, star_components):
+        got = {r["node"]: r["label"] for r in fn(df).collect()}
+        assert got == want, fn.__name__
+
+
+def test_propagation_raises_on_non_convergence(spark):
+    """Exhausting max_rounds without a fixpoint must raise — silently
+    returning partially-propagated labels would split one true cluster
+    into several keepers."""
+    chain = [(i, i + 1) for i in range(8)]
+    df = _pairs_df(spark, chain)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(df, max_rounds=3)
+    # star handles the same chain within its O(log^2 n) budget
+    got = {r["node"]: r["label"] for r in star_components(df).collect()}
+    assert got == {i: 0 for i in range(9)}

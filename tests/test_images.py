@@ -113,8 +113,17 @@ def test_phash_consistency_invariant(spark, images_pd, images_df):
     chk = DecodeCheck(max_phash_mismatch_rate=0.05)
     v = {r["metric"]: r for r in chk.run_extra(images_df)}
     assert v["phash_mismatch_rate"]["passed"]
+    n_checked = int(res["phash_ok"].notna().sum())
     assert v["phash_mismatch_rate"]["value"] == len(
-        res[res["phash_ok"] == False]) / len(res)  # noqa: E712
+        res[res["phash_ok"] == False]) / n_checked  # noqa: E712
+    # a phash-less table must FAIL the gate (nothing was compared), not
+    # vacuously pass
+    nocol = DecodeCheck(max_phash_mismatch_rate=0.0)
+    nv = {r["metric"]: r for r in nocol.run_extra(
+        images_df.drop("phash"))}
+    assert nv["phash_mismatch_rate"]["value"] is None
+    assert not nv["phash_mismatch_rate"]["passed"]
+    nocol.release()
     chk.release()
     strict = DecodeCheck(max_phash_mismatch_rate=0.0)
     sv = {r["metric"]: r for r in strict.run_extra(images_df)}

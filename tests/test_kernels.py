@@ -321,3 +321,28 @@ def test_stl_band_width_from_known_noise():
     for method in ("arima", "ets"):
         _, sd = _stl_forecast(y, 4, method)
         assert 0.4 * e < sd < 3 * e, (method, sd)
+
+
+def test_holt_grid_matches_sequential_search_exactly():
+    """The vectorized (alpha, beta) grid must reproduce the sequential
+    per-cell search bit-for-bit: same prediction, same residual vector,
+    same first-min tie rule (sse < best - 1e-12 keeps the earlier cell)."""
+    from anomalydetection_spark.kernels.timeseries import (
+        _HOLT_GRID, _holt_grid, _holt_once)
+
+    rng = np.random.default_rng(11)
+    for n in (4, 8, 17, 24, 60):
+        for _ in range(20):
+            a = rng.normal(50, 15, n)
+            if rng.random() < 0.3:
+                a = np.round(a)      # plateaued series -> SSE ties
+            best_sse, pred, resid = np.inf, float(a[-1]), np.array([])
+            for al in _HOLT_GRID:
+                for be in [0.0] + [b for b in _HOLT_GRID if b <= al]:
+                    p, r = _holt_once(a, al, be)
+                    sse = float(r @ r)
+                    if sse < best_sse - 1e-12:
+                        best_sse, pred, resid = sse, p, r
+            gp, gr = _holt_grid(a)
+            assert gp == pred
+            assert np.array_equal(gr, resid)
