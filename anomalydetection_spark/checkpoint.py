@@ -231,8 +231,21 @@ class CheckpointedRunner:
         spark = df.sparkSession
         tag = (f"{snapshot}__{self.bucket_key}__n{self.n_buckets}"
                .replace(":", "_").replace("/", "_"))
-        staged = os.path.join(self.out_dir, "_staging", tag)
+        root = os.path.join(self.out_dir, "_staging")
+        staged = os.path.join(root, tag)
         if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+            # GC stale staging copies before writing a new one: a tag for
+            # a different snapshot or bucket config can never be resumed
+            # against (the ledger's unit_scheme/snapshot checks reject
+            # it), and each copy is input-sized — without this, every
+            # config change would leave a full copy of the table behind
+            if os.path.isdir(root):
+                import shutil
+
+                for old in os.listdir(root):
+                    if old != tag:
+                        shutil.rmtree(os.path.join(root, old),
+                                      ignore_errors=True)
             b = F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.n_buckets))
             (
                 df.withColumn("__bucket", b)

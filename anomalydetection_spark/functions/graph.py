@@ -64,7 +64,10 @@ def min_label_components(pairs: DataFrame, a: str = "a", b: str = "b",
     sig = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
 
     converged = False
-    for _ in range(max_rounds):
+    # +1: convergence is OBSERVED on the first no-change round, so a
+    # component of diameter exactly max_rounds needs one extra pass to
+    # verify labels that are already final
+    for _ in range(max_rounds + 1):
         nbr = (
             edges.join(labels, edges["v"] == labels["node"])
             .groupBy("u").agg(F.min("label").alias("nbr_min"))
@@ -148,7 +151,9 @@ def star_components(pairs: DataFrame, a: str = "a", b: str = "b",
     )
     edges = _canon(raw).localCheckpoint()
     converged = False
-    for _ in range(max_rounds):
+    # +1 as in min_label_components: the fixpoint is observed one round
+    # after the edge set stops changing
+    for _ in range(max_rounds + 1):
         prev = edges
         # large-star: every neighbor LARGER than u rewires to
         # m = min(Γ(u) ∪ {u}); keeps big neighborhoods shrinking

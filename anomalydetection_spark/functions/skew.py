@@ -27,24 +27,34 @@ from pyspark.sql import DataFrame
 
 
 def heavy_hitters(df: DataFrame, key: str, min_share: float = 0.001,
-                  sample_fraction: float | None = None) -> DataFrame:
+                  sample_fraction: float | None = None,
+                  total_rows: int | None = None) -> DataFrame:
     """(key, est_share) for keys holding ≥min_share of sampled rows.
 
     Sampled pre-pass: one narrow scan of ``sample_fraction`` rows (auto:
     aims at ~1M sampled rows), map-side combined — the output is at most
     1/min_share rows, always broadcastable.
 
-    Job shape, auto-fraction: ONE ``df.count()`` (metadata-only on raw
-    parquet scans) to size the sample + the sampled aggregation; the
-    share denominator is the EXPECTED sample size (total × fraction) —
-    shares are estimates either way (binomial sampling noise dominates).
-    With an EXPLICIT ``sample_fraction`` the input is never counted (on
-    a derived/filtered frame that count would be a full scan — the exact
-    cost the sampled pre-pass exists to avoid): the denominator is the
-    realized sample size, one narrow pass over the fraction-sized sample
-    (deterministic under the fixed seed). At fraction=1.0 expected and
-    realized coincide exactly."""
-    if sample_fraction is None:
+    Denominator/job shape (shares are estimates either way — binomial
+    sampling noise dominates):
+
+    * ``total_rows`` given — zero pre-pass jobs: expected sample size
+      ``total_rows × fraction``. Pass it when the caller already knows
+      the count (ledger, earlier agg, table metadata) — the only shape
+      with NO extra evaluation of a derived input.
+    * auto fraction — one ``df.count()`` sizes the sample (metadata-only
+      on raw parquet scans; a full evaluation on derived frames).
+    * explicit fraction, no total — realized sample size via one count
+      of the sample. NOTE: sampling is a filter, not a scan-pruner, so
+      this still evaluates the upstream plan once more (same input cost
+      as the agg pass); it exists for callers that can't supply
+      ``total_rows``, not as a free lunch."""
+    if total_rows is not None:
+        if sample_fraction is None:
+            sample_fraction = min(1.0, 1_000_000 / max(total_rows, 1))
+        n_est = max(float(total_rows) * sample_fraction, 1.0)
+        s = df.sample(fraction=sample_fraction, seed=42).select(key)
+    elif sample_fraction is None:
         total = df.count()  # metadata-only on raw parquet scans
         sample_fraction = min(1.0, 1_000_000 / max(total, 1))
         n_est = max(float(total) * sample_fraction, 1.0)

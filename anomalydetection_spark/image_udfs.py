@@ -61,6 +61,10 @@ def decode_validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                ("image_id", "fmt", "decode_ok", "width", "height", "psnr_db",
                 "pixels_match", "caption_match", "phash_hamming", "phash_ok")}
         captions = pdf["caption"] if "caption" in pdf.columns else [None] * len(pdf)
+        # phash arrives as a STRING column (see decode_results): a
+        # nullable int64 batch would be promoted to float64 by Arrow→
+        # pandas, and phash magnitudes (~2^63) exceed float64's exact
+        # range — int() would round and flag consistent rows
         phashes = pdf["phash"] if "phash" in pdf.columns else [None] * len(pdf)
         for image_id, data, fmt, caption, stored_ph in zip(
             pdf["image_id"], pdf["bytes"], pdf["fmt"], captions, phashes
@@ -114,9 +118,14 @@ def decode_validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def decode_results(images: DataFrame) -> DataFrame:
     """Narrow → decode → verdict frame. Map-only: no shuffle of bytes."""
-    cols = ["image_id", "bytes", "fmt"] + [
-        c for c in ("caption", "phash") if c in images.columns
-    ]
+    cols = [F.col("image_id"), F.col("bytes"), F.col("fmt")]
+    if "caption" in images.columns:
+        cols.append(F.col("caption"))
+    if "phash" in images.columns:
+        # string-cast: exact for any int64 and null-safe through Arrow
+        # (a nullable long column would reach pandas as float64 and
+        # round 2^63-magnitude hashes)
+        cols.append(F.col("phash").cast("string").alias("phash"))
     return images.select(*cols).mapInPandas(
         decode_validate, DECODE_RESULT_SCHEMA
     )

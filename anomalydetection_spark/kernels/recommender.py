@@ -37,6 +37,8 @@ the pattern, and R_yy⁻¹ is computed once per pattern, not per row.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -225,6 +227,11 @@ def inject_noise(df: DataFrame, keys: list[str], noisy_cols: list[str],
     return out
 
 
+# past this, 6*k(k+1)/2 fused pairwise sums bloat the codegen'd plan
+# (janino 64KB method fallback) more than a second survivors-only job costs
+_FUSE_PAIRWISE_MAX_COLS = 64
+
+
 def run_rec_analysis(
     df: DataFrame,
     keys: list[str],
@@ -269,7 +276,10 @@ def run_rec_analysis(
     cached_input = None
     if persist:
         release_rec_analysis()
-        df = cached_input = df.persist()
+        # cache only what the kernel reads — keys + indicators; the
+        # caller's frame may be hundreds of columns wide
+        narrow = list(dict.fromkeys([*keys, *indicator_cols]))
+        df = cached_input = df.select(*narrow).persist()
         try:
             return _run_rec_analysis_body(
                 df, keys, indicator_cols, min_presence, min_row_obs, alpha,
@@ -285,16 +295,22 @@ def run_rec_analysis(
 
 
 _SCORED_CACHE = None
+_CACHE_LOCK = threading.Lock()
 
 
 def release_rec_analysis() -> None:
     """Unpersist the scored-frame cache left by the most recent
     ``run_rec_analysis(persist=True)`` call (it backs the returned
-    DataFrame, so the kernel cannot free it before returning)."""
+    DataFrame, so the kernel cannot free it before returning). Called
+    automatically on the NEXT ``persist=True`` run — an earlier run's
+    returned frame stays CORRECT afterwards, it just recomputes its
+    scoring stage if re-executed; drivers interleaving live results from
+    multiple runs should pass ``persist=False``."""
     global _SCORED_CACHE
-    if _SCORED_CACHE is not None:
-        _SCORED_CACHE.unpersist(blocking=False)
-        _SCORED_CACHE = None
+    with _CACHE_LOCK:
+        cache, _SCORED_CACHE = _SCORED_CACHE, None
+    if cache is not None:
+        cache.unpersist(blocking=False)
 
 
 def _run_rec_analysis_body(
@@ -308,16 +324,30 @@ def _run_rec_analysis_body(
         aggs.append(F.count(F.col(c)).alias(f"scr_n_{c}"))
         aggs.append(F.var_samp(F.col(c).cast("double")).alias(f"scr_v_{c}"))
         aggs.append(F.stddev_samp(F.col(c).cast("double")).alias(f"scr_sd_{c}"))
-    aggs += _pairwise_corr_aggs(indicator_cols)
+    # the O(k^2) pairwise moments (6 sums/pair) ride the SAME job only
+    # when the collinearity stage will consume them AND the column count
+    # keeps the fused expression set codegen-friendly; past the threshold
+    # (or with collinearity=None) they are skipped here — pairwise-
+    # complete correlations are unaffected by screening, so a deferred
+    # survivors-only pass (one extra job) is exactly equivalent
+    fuse_pairwise = (collinearity is not None
+                     and len(indicator_cols) <= _FUSE_PAIRWISE_MAX_COLS)
+    if fuse_pairwise:
+        aggs += _pairwise_corr_aggs(indicator_cols)
     srow = df.agg(*aggs).first()
     total = srow["__rows"] or 1
     # stages 1-2 (exact screen_columns semantics — see its docstring)
     cols = [c for c in indicator_cols
             if (srow[f"scr_n_{c}"] or 0) / total > min_presence
             and (srow[f"scr_v_{c}"] is None or srow[f"scr_v_{c}"] != 0)]
-    C_full = _corr_from_row(srow, len(indicator_cols))
-    idx = [indicator_cols.index(c) for c in cols]
-    C_sub = C_full[np.ix_(idx, idx)]
+    if fuse_pairwise:
+        C_full = _corr_from_row(srow, len(indicator_cols))
+        idx = [indicator_cols.index(c) for c in cols]
+        C_sub = C_full[np.ix_(idx, idx)]
+    elif collinearity is not None and len(cols) > 1:
+        C_sub = pairwise_correlations(df, cols)
+    else:
+        C_sub = None
     if collinearity == "drop" and len(cols) > 1:
         cols = screen_collinear_drop(df, cols, collinear_cutoff or 0.95,
                                      C=C_sub)
@@ -426,9 +456,14 @@ def _run_rec_analysis_body(
         # one UDF execution serves both the sort's sampling pass and the
         # sort; the input cache is released once results are materialized
         scored = scored.persist()
-        scored.count()
+        try:
+            scored.count()
+        except BaseException:
+            scored.unpersist(blocking=False)
+            raise
         cached_input.unpersist()
-        _SCORED_CACHE = scored
+        with _CACHE_LOCK:
+            _SCORED_CACHE = scored
     return scored.orderBy(F.desc("outlier_sp"), F.desc("MD"))
 
 

@@ -261,4 +261,7 @@ def test_staged_bucket_restages_on_config_change(spark, image_table, tmp_path):
         _suite(), out, bucket_key="image_id", n_buckets=8, stage_buckets=True
     ).run(df, input_path=image_table)
     assert sum(u.rows for u in r8.units) == 2000  # every row revalidated
-    assert len(os.listdir(os.path.join(out, "_staging"))) == 2
+    # the stale 4-bucket staging copy (input-sized, unreachable by any
+    # resume) is garbage-collected when the new one is staged
+    tags = os.listdir(os.path.join(out, "_staging"))
+    assert len(tags) == 1 and "n8" in tags[0]

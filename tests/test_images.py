@@ -133,6 +133,35 @@ def test_phash_consistency_invariant(spark, images_pd, images_df):
     strict.release()
 
 
+def test_phash_exact_through_arrow_with_nulls(spark, images_pd):
+    """A nullable phash column must not cost exactness: Arrow→pandas
+    promotes nullable int64 to float64, whose 2^53 exact range cannot
+    hold 2^63-magnitude hashes — the kernel therefore receives phash as
+    a string. Planting one NULL per batch, every non-null lossless row
+    must still verify at hamming distance exactly 0."""
+    from anomalydetection_spark.synth import to_spark
+
+    pdf, _ = images_pd
+    png = pdf[(pdf["fmt"] == "png")].head(50).copy()
+    assert len(png) >= 20
+    # object dtype FIRST: assigning None into an int64 column would
+    # promote it to float64 and round the fixture itself
+    png["phash"] = png["phash"].astype("object")
+    png.loc[png.index[::7], "phash"] = None   # NULLs sprinkled through
+    df = to_spark(spark, png)
+    from anomalydetection_spark.synth import HOT_PHASH
+
+    res = decode_results(df).toPandas()
+    checked = res[res["phash_hamming"].notna()]
+    assert len(checked) == len(png) - len(png.index[::7])
+    hot_ids = set(png[png["phash"] == HOT_PHASH]["image_id"])
+    clean = checked[~checked["image_id"].isin(hot_ids)]
+    assert int(clean["phash_hamming"].max()) == 0  # exact through Arrow
+    assert bool(clean["phash_ok"].all())
+    hot = checked[checked["image_id"].isin(hot_ids)]
+    assert bool((hot["phash_hamming"] > 0).all())  # plants still caught
+
+
 def test_image_suite_end_to_end(spark, images_pd, images_df):
     pdf, man = images_pd
     res = run_image_validation(spark, images_df, fmt_dimension(spark))
