@@ -2069,6 +2069,103 @@ def o_dedup_embedding_cosine() -> str:
 # pandas UDFs), so no oracle_sql entries: the driver records the weaker
 # rows-only check for these two, by design.
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (functions/similarity.py pq_encode):
+    64-dim embeddings -> 8 subspace codes of 3 bits each (m=8, K=8) — the
+    compression half of the canonical trillion-scale IVF-PQ ANN layout
+    (m bytes/vector instead of 4*dim; scored without decompression by
+    q_pq_adc_topk). MAP-ONLY plan: subcentroids are inlined literals,
+    per-subspace argmin is a sort_array over a transform. Gated in melted
+    (vec_id, subspace, code, dist2) form; dist2 = ROUND(xx - 2*xc + cc, 8)
+    where every term is a sequential float fold, so DuckDB reproduces the
+    codes AND distances bit-for-bit."""
+    from anomalydetection_spark.functions.similarity import pq_encode
+
+    emb = _te(spark, sf_dir)
+    enc = pq_encode(emb, m=8, n_codes=8)
+    return enc.select(
+        "vec_id",
+        F.posexplode(F.arrays_zip(F.col("codes"), F.col("dist2s"))),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("subspace"),
+        F.col("col.codes").alias("code"),
+        F.col("col.dist2s").alias("dist2_r"),
+    )
+
+
+def _o_pq_common() -> str:
+    # shared CTEs: doubled vectors, per-subspace codebook slices (the 8
+    # smallest-vec_id vectors), per-(vec, subspace) argmin code.
+    # DuckDB list slices are 1-based INCLUSIVE; list_dot_product is a
+    # sequential fold == Spark's F.aggregate fold == numpy cumsum.
+    return """
+    WITH vs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    subs AS (SELECT UNNEST(range(8)) AS s),
+    cb AS (
+      SELECT subs.s AS s, c.vec_id AS code,
+             c.e[subs.s * 8 + 1 : subs.s * 8 + 8] AS v
+      FROM (SELECT * FROM vs WHERE vec_id < 8) c, subs
+    ),
+    dists AS (
+      SELECT v.vec_id, cb.s, cb.code,
+             ROUND(
+               list_dot_product(v.e[cb.s*8+1 : cb.s*8+8], v.e[cb.s*8+1 : cb.s*8+8])
+               - 2 * list_dot_product(v.e[cb.s*8+1 : cb.s*8+8], cb.v)
+               + list_dot_product(cb.v, cb.v), 8) AS d2
+      FROM vs v, cb
+    ),
+    best AS (
+      SELECT vec_id, s, code, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2 ASC, code ASC) AS rn
+      FROM dists
+    )
+    """
+
+
+def o_pq_encode() -> str:
+    return _o_pq_common() + """
+    SELECT vec_id, CAST(s AS INT) AS subspace, CAST(code AS INT) AS code,
+           d2 AS dist2_r
+    FROM best WHERE rn = 1
+    """
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric-distance) top-k over PQ codes (functions/
+    similarity.py pq_adc_topk): score(v) = sum_s lut[s][code_v[s]] with
+    lut[s][c] = q_s . centroid_{s,c} — the trillion-row ANN read path
+    touches only the m-byte code column, the m*K LUT is inlined, and the
+    only non-map stage is the global top-k. Per-term ROUND(.,8) then
+    exact DECIMAL(20,8) summation keeps both engines bit-identical
+    regardless of addition order."""
+    from anomalydetection_spark.functions.similarity import pq_adc_topk
+
+    emb = _te(spark, sf_dir)
+    return pq_adc_topk(emb, query_id=0, k=10, m=8, n_codes=8)
+
+
+def o_pq_adc_topk() -> str:
+    return _o_pq_common() + """
+    , q AS (SELECT e FROM vs WHERE vec_id = 0),
+    lut AS (
+      SELECT cb.s, cb.code,
+             list_dot_product((SELECT e[cb.s*8+1 : cb.s*8+8] FROM q), cb.v) AS val
+      FROM cb
+    )
+    SELECT b.vec_id,
+           CAST(SUM(CAST(ROUND(l.val, 8) AS DECIMAL(20,8))) AS DOUBLE) AS adc_score
+    FROM best b JOIN lut l ON l.s = b.s AND l.code = b.code
+    WHERE b.rn = 1
+    GROUP BY b.vec_id
+    ORDER BY adc_score DESC, b.vec_id ASC
+    LIMIT 10
+    """
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH embedding near-dup — the CORPUS-SCALE path for embedding
     dedup (functions/similarity.py cosine_near_dup_lsh): banded random-
@@ -2312,17 +2409,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries. Queries whose driver-green row is newest-needed
     # (new gates + the four that sat past position 50 in round 2:
     # text_bpe_tokens / scaffold_join / window_presence_gate /
-    # dedup_embedding_cosine) lead; five long-stable trivial gates that
-    # were driver-green in BOTH r01 and r02 (topk_global,
-    # anti_join_inactive, union_schema_fill, set_intersect_except,
-    # window_ntile_quartiles) rotate to the tail with the two
-    # documented rows-only model kernels.
+    # dedup_embedding_cosine) lead; long-stable gates that were
+    # driver-green in BOTH r01 and r02 rotate to the tail with the two
+    # documented rows-only model kernels (round 3 adds rollup_totals and
+    # drift_emd to the tail — their operator families keep in-window
+    # coverage via cube_stats and drift_psi/drift_ks — to admit the two
+    # new PQ gates).
     return {
         "text_bpe_tokens": q_text_bpe_tokens,
         "scaffold_join": q_scaffold_join,
         "window_presence_gate": q_window_presence_gate,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "pq_encode": q_pq_encode,
+        "pq_adc_topk": q_pq_adc_topk,
         "dedup_clusters": q_dedup_clusters,
         "text_gopher_quality": q_text_gopher_quality,
         "benchmark_contamination": q_benchmark_contamination,
@@ -2340,13 +2440,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_group_share": q_window_group_share,
         "window_lead_lag_delta": q_window_lead_lag_delta,
         "row_argmax_driver": q_row_argmax_driver,
-        "rollup_totals": q_rollup_totals,
         "derived_filters": q_derived_filters,
         "full_outer_agreement": q_full_outer_agreement,
         "mahalanobis_flags": q_mahalanobis_flags,
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
-        "drift_emd": q_drift_emd,
         "json_extract_stats": q_json_extract_stats,
         "asof_join_clicks": q_asof_join_clicks,
         "session_stats": q_session_stats,
@@ -2368,6 +2466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_stats": q_embedding_label_stats,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "rollup_totals": q_rollup_totals,
+        "drift_emd": q_drift_emd,
         "text_lang_id": q_text_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2389,6 +2489,8 @@ def oracle_sql() -> dict[str, str]:
         "window_presence_gate": o_window_presence_gate(),
         "dedup_embedding_cosine": o_dedup_embedding_cosine(),
         "dedup_embedding_lsh": o_dedup_embedding_lsh(),
+        "pq_encode": o_pq_encode(),
+        "pq_adc_topk": o_pq_adc_topk(),
         "dedup_clusters": o_dedup_clusters(),
         "text_gopher_quality": o_text_gopher_quality(),
         "benchmark_contamination": o_benchmark_contamination(),

@@ -509,3 +509,146 @@ def quantize_embeddings(emb: DataFrame, levels: int = 127) -> DataFrame:
 def dequantize_expr() -> "F.Column":
     """Reconstruction array for a frame produced by quantize_embeddings."""
     return F.transform(F.col("qvec"), lambda x: x.cast("double") * F.col("scale"))
+
+
+def _seq_dot(a, b) -> float:
+    """Driver-side sequential float64 dot product: ``cumsum`` is left-to-
+    right, so the value is bit-identical to the JVM ``F.aggregate`` fold
+    and to DuckDB ``list_dot_product`` (np.dot's pairwise/SIMD order is
+    NOT)."""
+    import numpy as np
+
+    prod = np.asarray(a, dtype=np.float64) * np.asarray(b, dtype=np.float64)
+    return float(np.cumsum(prod)[-1])
+
+
+def pq_codebooks(emb: DataFrame, m: int, n_codes: int = 8) -> list:
+    """``[m][n_codes][d]`` product-quantization codebooks: the ``n_codes``
+    smallest-vec_id corpus vectors, sliced per subspace — the
+    deterministic trainer analog (a production trainer Lloyd-iterates per
+    subspace exactly as ``ivf_centroid_update`` does on full vectors, and
+    this seeding is its canonical k-means init). One tiny collect."""
+    dim = embedding_dim(emb)
+    d = dim // m
+    rows = sorted(
+        emb.filter(F.col("vec_id") < n_codes).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    return [
+        [[float(x) for x in r["embedding"][s * d:(s + 1) * d]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_encode(emb: DataFrame, m: int = 8, n_codes: int = 8,
+              codebooks: list | None = None) -> DataFrame:
+    """Product-quantization encoding: (vec_id, codes array<int>,
+    dist2s array<double>) — per subspace ``s``, ``codes[s]`` is the
+    L2-nearest codebook entry for the vector's ``s``-th subvector and
+    ``dist2s[s]`` the (rounded) squared distance.
+
+    This is the storage path that makes trillion-scale ANN affordable:
+    m bytes per vector instead of 4·dim (here 8 codes for a 64-dim
+    float — 32×), scored without decompression via ADC lookup tables
+    (``pq_adc_topk``). IVF partitions the corpus; PQ compresses what's
+    inside each partition — together they are the canonical IVF-PQ
+    layout.
+
+    Plan shape: MAP-ONLY. The m×K subcentroids are inlined as array
+    literals (same expression-budget argument as ``_centroid_scores``);
+    per subspace the K distances are a transform over that literal and
+    the argmin is ``sort_array(...)[1]`` with code-ascending tie-break.
+    Cross-engine exactness: dist² = ROUND(xx − 2·xc + cc, 8) where xx
+    and xc are sequential folds over the subvector slice (bit-identical
+    to DuckDB ``list_dot_product`` on the same slice) and cc is the
+    driver-side sequential fold of the codebook entry (``_seq_dot``)."""
+    dim = embedding_dim(emb)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    if codebooks is None:
+        codebooks = pq_codebooks(emb, m, n_codes)
+
+    # slice + per-subspace self-dot projected ONCE (HOF lambda bodies
+    # re-evaluate referenced expressions per element; a projected column
+    # binding survives — see functions/text.py token_shingles)
+    proj = emb.select(
+        "*",
+        *[F.slice(F.col("embedding"), s * d + 1, d).alias(f"__xs_{s}")
+          for s in range(m)],
+    ).select(
+        "*",
+        *[_fold_dot(F.col(f"__xs_{s}"), F.col(f"__xs_{s}")).alias(f"__xx_{s}")
+          for s in range(m)],
+    )
+
+    bests = []
+    for s in range(m):
+        cb = F.array(*[
+            F.struct(
+                F.array(*[F.lit(x) for x in code_vec]).alias("v"),
+                F.lit(_seq_dot(code_vec, code_vec)).alias("cc"),
+                F.lit(c).alias("code"),
+            )
+            for c, code_vec in enumerate(codebooks[s])
+        ])
+
+        def make_dist(s):
+            # single-param closure: a 2-param lambda would receive the
+            # ARRAY INDEX as its second argument, silently shadowing the
+            # default (the F.transform trap — see _seeded_md5 in text.py)
+            def dist(entry):
+                xc = _fold_dot(F.col(f"__xs_{s}"), entry["v"])
+                d2 = F.round(
+                    F.col(f"__xx_{s}") - F.lit(2.0) * xc + entry["cc"], 8)
+                return F.struct(d2.alias("d2"), entry["code"].alias("code"))
+            return dist
+
+        bests.append(
+            F.element_at(F.sort_array(F.transform(cb, make_dist(s))), 1))
+
+    return proj.select(
+        *emb.columns,
+        F.array(*[b["code"] for b in bests]).alias("codes"),
+        F.array(*[b["d2"] for b in bests]).alias("dist2s"),
+    )
+
+
+def pq_adc_topk(emb: DataFrame, query_id: int, k: int = 10, m: int = 8,
+                n_codes: int = 8) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: (vec_id, adc_score) of
+    the ``k`` corpus vectors whose RECONSTRUCTED inner product with the
+    query is highest — score(v) = Σ_s lut[s][codes_v[s]] with
+    lut[s][c] = q_s · centroid_{s,c}.
+
+    The trillion-row ANN read path: the scan touches only the m-byte
+    code column (never the float vectors), the m×K LUT is computed once
+    per query and inlined, scoring is a pure projection, and the only
+    non-map stage is the global top-k. Cross-engine exactness: LUT
+    entries are sequential folds (``_seq_dot`` == DuckDB
+    ``list_dot_product``); each looked-up term is ROUND(·, 8) then
+    summed as exact DECIMAL(20,8) — order-insensitive, so engines agree
+    bit-for-bit."""
+    codebooks = pq_codebooks(emb, m, n_codes)
+    qrow = emb.filter(F.col("vec_id") == query_id).first()
+    if qrow is None:
+        raise ValueError(f"query vec_id {query_id} not found")
+    q = [float(x) for x in qrow["embedding"]]
+    d = len(q) // m
+
+    enc = pq_encode(emb, m, n_codes, codebooks)
+    score = None
+    for s in range(m):
+        lut = F.array(*[
+            F.lit(_seq_dot(q[s * d:(s + 1) * d], code_vec))
+            for code_vec in codebooks[s]
+        ])
+        term = F.round(
+            F.element_at(lut, F.element_at(F.col("codes"), s + 1) + 1), 8
+        ).cast("decimal(20,8)")
+        score = term if score is None else score + term
+    return (
+        enc.select("vec_id", score.cast("double").alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(k)
+    )
