@@ -2166,6 +2166,64 @@ def o_pq_adc_topk() -> str:
     """
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED IVF-PQ read path (functions/similarity.py ivf_pq_topk):
+    probe the query's 2 nearest IVF buckets, ADC-score only the vectors
+    inside them over their PQ codes — the canonical trillion-scale ANN
+    serving layout with both halves (ivf assignment: ann_ivf_topk /
+    ivf_centroid_update; PQ codes + ADC: pq_encode / pq_adc_topk)
+    independently driver-gated in-window. One map-only scan computes
+    bucket + codes; the probe filter is a scan predicate (partition
+    pruning on bucket-partitioned storage); only the final top-k leaves
+    map-land."""
+    from anomalydetection_spark.functions.similarity import ivf_pq_topk
+
+    emb = _te(spark, sf_dir)
+    return ivf_pq_topk(emb, query_id=10, k=10, n_buckets=8, n_probe=2)
+
+
+def o_ivf_pq_topk() -> str:
+    return _o_pq_common() + """
+    , q AS (SELECT e FROM vs WHERE vec_id = 10),
+    cass AS (
+      SELECT vid AS vec_id, cid AS bucket FROM (
+        SELECT v.vec_id AS vid, c.vec_id AS cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 ROUND(list_dot_product(v.e, c.e)
+                       / SQRT(list_dot_product(v.e, v.e)
+                            * list_dot_product(c.e, c.e)), 8) DESC,
+                 c.vec_id ASC) AS rk
+        FROM vs v JOIN vs c ON c.vec_id < 8
+      ) WHERE rk = 1
+    ),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.vec_id AS cid,
+               ROW_NUMBER() OVER (ORDER BY
+                 ROUND(list_dot_product((SELECT e FROM q), c.e)
+                       / SQRT(list_dot_product((SELECT e FROM q), (SELECT e FROM q))
+                            * list_dot_product(c.e, c.e)), 8) DESC,
+                 c.vec_id ASC) AS rk
+        FROM vs c WHERE c.vec_id < 8
+      ) WHERE rk <= 2
+    ),
+    lut AS (
+      SELECT cb.s, cb.code,
+             list_dot_product((SELECT e[cb.s*8+1 : cb.s*8+8] FROM q), cb.v) AS val
+      FROM cb
+    )
+    SELECT b.vec_id, a.bucket,
+           CAST(SUM(CAST(ROUND(l.val, 8) AS DECIMAL(20,8))) AS DOUBLE) AS adc_score
+    FROM best b
+    JOIN cass a ON a.vec_id = b.vec_id
+    JOIN lut l ON l.s = b.s AND l.code = b.code
+    WHERE b.rn = 1 AND a.bucket IN (SELECT cid FROM probe)
+    GROUP BY b.vec_id, a.bucket
+    ORDER BY adc_score DESC, b.vec_id ASC
+    LIMIT 10
+    """
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH embedding near-dup — the CORPUS-SCALE path for embedding
     dedup (functions/similarity.py cosine_near_dup_lsh): banded random-
@@ -2472,6 +2530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ---- positions 51+ (outside the driver's 50-entry window) ----
+        # ivf_pq_topk composes two in-window-gated halves (IVF assignment
+        # + PQ/ADC) and is oracled + locally replica-verified at 3 SFs
+        "ivf_pq_topk": q_ivf_pq_topk,
         "topk_global": q_topk_global,
         "anti_join_inactive": q_anti_join_inactive,
         "union_schema_fill": q_union_schema_fill,
@@ -2491,6 +2552,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": o_dedup_embedding_lsh(),
         "pq_encode": o_pq_encode(),
         "pq_adc_topk": o_pq_adc_topk(),
+        "ivf_pq_topk": o_ivf_pq_topk(),
         "dedup_clusters": o_dedup_clusters(),
         "text_gopher_quality": o_text_gopher_quality(),
         "benchmark_contamination": o_benchmark_contamination(),

@@ -630,13 +630,29 @@ def pq_adc_topk(emb: DataFrame, query_id: int, k: int = 10, m: int = 8,
     summed as exact DECIMAL(20,8) — order-insensitive, so engines agree
     bit-for-bit."""
     codebooks = pq_codebooks(emb, m, n_codes)
+    q = _query_vector(emb, query_id)
+    enc = pq_encode(emb, m, n_codes, codebooks)
+    score = _adc_score(q, codebooks, m)
+    return (
+        enc.select("vec_id", score.cast("double").alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _query_vector(emb: DataFrame, query_id: int) -> list:
     qrow = emb.filter(F.col("vec_id") == query_id).first()
     if qrow is None:
         raise ValueError(f"query vec_id {query_id} not found")
-    q = [float(x) for x in qrow["embedding"]]
-    d = len(q) // m
+    return [float(x) for x in qrow["embedding"]]
 
-    enc = pq_encode(emb, m, n_codes, codebooks)
+
+def _adc_score(q: list, codebooks: list, m: int):
+    """Decimal ADC score column over a frame carrying ``codes``:
+    Σ_s ROUND(lut[s][codes[s]], 8) summed as exact DECIMAL(20,8) —
+    order-insensitive, so DuckDB's grouped SUM matches the expression
+    chain bit-for-bit."""
+    d = len(q) // m
     score = None
     for s in range(m):
         lut = F.array(*[
@@ -647,8 +663,64 @@ def pq_adc_topk(emb: DataFrame, query_id: int, k: int = 10, m: int = 8,
             F.element_at(lut, F.element_at(F.col("codes"), s + 1) + 1), 8
         ).cast("decimal(20,8)")
         score = term if score is None else score + term
+    return score
+
+
+def ivf_pq_topk(emb: DataFrame, query_id: int, k: int = 10,
+                n_buckets: int = 8, n_probe: int = 2, m: int = 8,
+                n_codes: int = 8) -> DataFrame:
+    """The COMPOSED trillion-scale ANN read path — IVF partition pruning
+    over PQ-compressed codes: assign every vector to its nearest IVF
+    centroid, probe the query's ``n_probe`` nearest buckets, ADC-score
+    only the vectors inside them.
+
+    Plan shape: ONE map-only projection computes the bucket (inlined
+    centroid scores, as ``ivf_assign``) AND the PQ codes; the probe
+    filter is a plain scan predicate (on bucket-partitioned storage it
+    becomes partition pruning — the scan itself shrinks to
+    n_probe/n_buckets of the table); ADC scoring is a projection; the
+    only non-map stage is the global top-k. Returns (vec_id, bucket,
+    adc_score).
+
+    Probe selection happens driver-side over the C centroids with the
+    SAME rounding as the engine expressions (HALF_UP at 8dp on
+    sequential-fold cosines), so an independent engine reproduces the
+    probe set, the candidate set, and every score bit-for-bit."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    dim = embedding_dim(emb)
+    centroids = emb.filter(F.col("vec_id") < n_buckets)         .select("vec_id", "embedding")
+    codebooks = pq_codebooks(emb, m, n_codes)
+    q = _query_vector(emb, query_id)
+    qq = _seq_dot(q, q)
+
+    def r8(v: float) -> float:
+        # Decimal(v) is the EXACT binary value of the double — matching
+        # Spark's BigDecimal(double).setScale(8, HALF_UP) and DuckDB ROUND
+        return float(Decimal(v).quantize(Decimal("1e-8"), ROUND_HALF_UP))
+
+    ranked = []
+    for r in sorted(centroids.collect(), key=lambda r: r["vec_id"]):
+        c = [float(x) for x in r["embedding"]]
+        cos = r8(_seq_dot(q, c) / math.sqrt(qq * _seq_dot(c, c)))
+        ranked.append((-cos, int(r["vec_id"])))
+    probe = [cid for _, cid in sorted(ranked)[:n_probe]]
+
+    base = emb.select(
+        "vec_id", "embedding",
+        F.col("embedding").alias("ea"),
+        _fold_dot(F.col("embedding"), F.col("embedding")).alias("na2"),
+    )
+    bucket = F.element_at(_centroid_scores(centroids, dim), 1)["cid"]
+    pruned = (
+        base.select("vec_id", "embedding", bucket.alias("bucket"))
+        .filter(F.col("bucket").isin(probe))
+    )
+    enc = pq_encode(pruned, m, n_codes, codebooks)
+    score = _adc_score(q, codebooks, m)
     return (
-        enc.select("vec_id", score.cast("double").alias("adc_score"))
+        enc.select("vec_id", "bucket", score.cast("double").alias("adc_score"))
         .orderBy(F.desc("adc_score"), F.asc("vec_id"))
         .limit(k)
     )

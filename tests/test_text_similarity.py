@@ -481,3 +481,30 @@ def test_pq_adc_topk_self_hit_and_rank_quality(spark):
     assert top[0]["vec_id"] == 0
     scores = [r["adc_score"] for r in top]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_pq_topk_composes_probe_and_adc(spark):
+    """The composed IVF-PQ read path must equal 'full ADC ranking
+    restricted to the probed buckets': every result sits in one of the
+    query's 2 nearest buckets, the query's own bucket is probed (so the
+    query itself ranks first), and the scores match pq_adc_topk's for
+    the same vectors."""
+    from anomalydetection_spark.functions.similarity import (
+        ivf_assign, ivf_pq_topk, pq_adc_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    top = ivf_pq_topk(emb, query_id=10, k=10, n_buckets=8, n_probe=2).collect()
+    assert top[0]["vec_id"] == 10
+    probed = {r["bucket"] for r in top}
+    assert len(probed) <= 2
+    centroids = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    assign = {r["vec_id"]: r["bucket"]
+              for r in ivf_assign(emb, centroids).collect()}
+    assert assign[10] in probed
+    # scores agree with the unpruned ADC scorer restricted to the probe set
+    full = {r["vec_id"]: r["adc_score"]
+            for r in pq_adc_topk(emb, query_id=10, k=500).collect()}
+    in_probe = sorted(
+        ((full[v], v) for v, b in assign.items() if b in probed),
+        key=lambda t: (-t[0], t[1]))[:10]
+    assert [(r["adc_score"], r["vec_id"]) for r in top] == in_probe
