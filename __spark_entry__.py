@@ -2224,6 +2224,34 @@ def o_ivf_pq_topk() -> str:
     """
 
 
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking with overlap (functions/text.py
+    chunk_documents): max_tokens=24, stride=16 — the context-window
+    preparation step of a training/RAG pipeline. Map-only explode;
+    split/slice/array_join have identical semantics in DuckDB so chunks
+    reproduce byte-for-byte."""
+    from anomalydetection_spark.functions.text import chunk_documents
+
+    d = _td(spark, sf_dir)
+    return chunk_documents(d, max_tokens=24, stride=16)
+
+
+def o_doc_chunking() -> str:
+    # Spark sequence(0, len-1, 16) inclusive-end == DuckDB
+    # range(0, len, 16) end-exclusive over the same starts; list slices
+    # are 1-based inclusive on both engines (Spark via (start, LENGTH))
+    return """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(u.s / 16 AS INT) AS chunk_idx,
+           CAST(len(toks[u.s + 1 : u.s + 24]) AS INT) AS n_tokens,
+           array_to_string(toks[u.s + 1 : u.s + 24], ' ') AS chunk
+    FROM t, UNNEST(range(0, CASE WHEN len(toks) > 1 THEN len(toks) ELSE 1 END, 16)) AS u(s)
+    """
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH embedding near-dup — the CORPUS-SCALE path for embedding
     dedup (functions/similarity.py cosine_near_dup_lsh): banded random-
@@ -2533,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ivf_pq_topk composes two in-window-gated halves (IVF assignment
         # + PQ/ADC) and is oracled + locally replica-verified at 3 SFs
         "ivf_pq_topk": q_ivf_pq_topk,
+        "doc_chunking": q_doc_chunking,
         "topk_global": q_topk_global,
         "anti_join_inactive": q_anti_join_inactive,
         "union_schema_fill": q_union_schema_fill,
@@ -2553,6 +2582,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode": o_pq_encode(),
         "pq_adc_topk": o_pq_adc_topk(),
         "ivf_pq_topk": o_ivf_pq_topk(),
+        "doc_chunking": o_doc_chunking(),
         "dedup_clusters": o_dedup_clusters(),
         "text_gopher_quality": o_text_gopher_quality(),
         "benchmark_contamination": o_benchmark_contamination(),

@@ -390,3 +390,48 @@ def benchmark_contamination(corpus: DataFrame, bench: DataFrame,
             F.round(F.col("n_contaminated").cast("double") / F.col("n_shingles"), 8),
         )
     )
+
+
+def chunk_documents(docs: DataFrame, max_tokens: int = 64,
+                    stride: int | None = None,
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk): fixed-size token-window
+    chunking with optional overlap — the context-window preparation step
+    of a training/RAG pipeline (long documents become max_tokens-sized
+    pieces; ``stride`` < max_tokens overlaps consecutive chunks so no
+    span is split across a boundary without being seen whole).
+
+    MAP-ONLY: tokens are projected once per document (the split must not
+    sit inside the transform lambda — it would re-execute per chunk,
+    O(chunks·tokens) per doc), chunk starts are a ``sequence``, and the
+    explode is narrow. At 10^12 documents this is a pure scan-side
+    transformation; every expression (split / slice / array_join) has
+    identical semantics in DuckDB, so chunks reproduce byte-for-byte."""
+    if stride is None:
+        stride = max_tokens
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    toks = docs.select(id_col, F.split(F.col("text"), " ").alias("__toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("__toks") - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return (
+        toks.select(
+            id_col,
+            F.col("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.slice(F.col("__toks"), F.col("start") + 1, max_tokens).alias("__c"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("__c").alias("n_tokens"),
+            F.array_join("__c", " ").alias("chunk"),
+        )
+    )

@@ -508,3 +508,26 @@ def test_ivf_pq_topk_composes_probe_and_adc(spark):
         ((full[v], v) for v, b in assign.items() if b in probed),
         key=lambda t: (-t[0], t[1]))[:10]
     assert [(r["adc_score"], r["vec_id"]) for r in top] == in_probe
+
+
+def test_chunk_documents_overlap_matches_python_reference(spark):
+    """Chunking must equal the plain-python sliding window: starts at
+    0, stride, 2*stride, ...; each chunk = tokens[start:start+max]; the
+    trailing partial chunk is kept; overlap (stride < max) duplicates
+    the boundary tokens into both neighbors. Plan is map-only."""
+    from anomalydetection_spark.functions.text import chunk_documents
+
+    rows = [("d1", "a b c d e f g h i j"), ("d2", "x"), ("d3", "")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = chunk_documents(df, max_tokens=4, stride=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk"])
+           for r in out.collect()}
+    want = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        for idx, start in enumerate(range(0, max(len(toks) - 1, 0) + 1, 3)):
+            ch = toks[start:start + 4]
+            want[(doc_id, idx)] = (len(ch), " ".join(ch))
+    assert got == want
