@@ -2242,13 +2242,14 @@ def o_doc_chunking() -> str:
     # are 1-based inclusive on both engines (Spark via (start, LENGTH))
     return """
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST(u.s / 16 AS INT) AS chunk_idx,
            CAST(len(toks[u.s + 1 : u.s + 24]) AS INT) AS n_tokens,
            array_to_string(toks[u.s + 1 : u.s + 24], ' ') AS chunk
-    FROM t, UNNEST(range(0, CASE WHEN len(toks) > 1 THEN len(toks) ELSE 1 END, 16)) AS u(s)
+    FROM t, UNNEST(range(0, len(toks), 16)) AS u(s)
     """
 
 
@@ -2526,7 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_group_share": q_window_group_share,
         "window_lead_lag_delta": q_window_lead_lag_delta,
         "row_argmax_driver": q_row_argmax_driver,
-        "derived_filters": q_derived_filters,
+        "derived_filters": q_derived_filters,  # window continues below
         "full_outer_agreement": q_full_outer_agreement,
         "mahalanobis_flags": q_mahalanobis_flags,
         "drift_psi": q_drift_psi,
@@ -2552,14 +2553,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_stats": q_embedding_label_stats,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        # ---- positions 51+ (outside the driver's 50-entry window) ----
         "rollup_totals": q_rollup_totals,
         "drift_emd": q_drift_emd,
         "text_lang_id": q_text_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # ---- positions 51+ (outside the driver's 50-entry window) ----
-        # ivf_pq_topk composes two in-window-gated halves (IVF assignment
-        # + PQ/ADC) and is oracled + locally replica-verified at 3 SFs
+        # ivf_pq_topk composes two gated halves (ivf_centroid_update +
+        # the PQ pair in-window; ann_ivf_topk green r01+r02) and is
+        # oracled + locally replica-verified at 3 SFs
         "ivf_pq_topk": q_ivf_pq_topk,
         "doc_chunking": q_doc_chunking,
         "topk_global": q_topk_global,

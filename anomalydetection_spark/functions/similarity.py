@@ -523,17 +523,24 @@ def _seq_dot(a, b) -> float:
 
 
 def pq_codebooks(emb: DataFrame, m: int, n_codes: int = 8) -> list:
-    """``[m][n_codes][d]`` product-quantization codebooks: the ``n_codes``
-    smallest-vec_id corpus vectors, sliced per subspace — the
-    deterministic trainer analog (a production trainer Lloyd-iterates per
-    subspace exactly as ``ivf_centroid_update`` does on full vectors, and
-    this seeding is its canonical k-means init). One tiny collect."""
+    """``[m][n_codes][d]`` product-quantization codebooks: the vectors
+    with ``vec_id < n_codes`` (code c == vec_id c), sliced per subspace —
+    the deterministic trainer analog (a production trainer Lloyd-iterates
+    per subspace exactly as ``ivf_centroid_update`` does on full vectors,
+    and this seeding is its canonical k-means init). One tiny collect.
+    Raises if ids 0..n_codes-1 are not all present: a gap would silently
+    shrink K and desynchronize dense code numbering from the id-coded
+    cross-engine oracle."""
     dim = embedding_dim(emb)
     d = dim // m
     rows = sorted(
         emb.filter(F.col("vec_id") < n_codes).collect(),
         key=lambda r: r["vec_id"],
     )
+    if [int(r["vec_id"]) for r in rows] != list(range(n_codes)):
+        raise ValueError(
+            f"pq_codebooks needs vec_ids 0..{n_codes - 1} present exactly "
+            f"once; got {[int(r['vec_id']) for r in rows]}")
     return [
         [[float(x) for x in r["embedding"][s * d:(s + 1) * d]] for r in rows]
         for s in range(m)
@@ -562,11 +569,16 @@ def pq_encode(emb: DataFrame, m: int = 8, n_codes: int = 8,
     and xc are sequential folds over the subvector slice (bit-identical
     to DuckDB ``list_dot_product`` on the same slice) and cc is the
     driver-side sequential fold of the codebook entry (``_seq_dot``)."""
-    dim = embedding_dim(emb)
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    d = dim // m
-    if codebooks is None:
+    if codebooks is not None:
+        # dim is implied — no extra job over the (possibly expensively
+        # derived) input just to measure array width
+        d = len(codebooks[0][0])
+        dim = d * m
+    else:
+        dim = embedding_dim(emb)
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        d = dim // m
         codebooks = pq_codebooks(emb, m, n_codes)
 
     # slice + per-subspace self-dot projected ONCE (HOF lambda bodies

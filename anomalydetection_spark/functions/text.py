@@ -406,12 +406,20 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 64,
     O(chunks·tokens) per doc), chunk starts are a ``sequence``, and the
     explode is narrow. At 10^12 documents this is a pure scan-side
     transformation; every expression (split / slice / array_join) has
-    identical semantics in DuckDB, so chunks reproduce byte-for-byte."""
+    identical semantics in DuckDB, so chunks reproduce byte-for-byte.
+
+    NULL-text documents are dropped (there is nothing to chunk — and
+    "one NULL chunk" vs "no chunks" is exactly the kind of undefined
+    corner that desynchronizes engines). ``stride > max_tokens`` is
+    allowed — it SAMPLES disjoint windows, leaving the tokens between
+    them in no chunk (deliberate for sketching/sampling; use
+    ``stride <= max_tokens`` for lossless coverage)."""
     if stride is None:
         stride = max_tokens
     if stride <= 0 or max_tokens <= 0:
         raise ValueError("max_tokens and stride must be positive")
-    toks = docs.select(id_col, F.split(F.col("text"), " ").alias("__toks"))
+    toks = docs.filter(F.col("text").isNotNull()) \
+        .select(id_col, F.split(F.col("text"), " ").alias("__toks"))
     starts = F.sequence(
         F.lit(0),
         F.greatest(F.size("__toks") - 1, F.lit(0)),
