@@ -2527,7 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_group_share": q_window_group_share,
         "window_lead_lag_delta": q_window_lead_lag_delta,
         "row_argmax_driver": q_row_argmax_driver,
-        "derived_filters": q_derived_filters,  # window continues below
+        "derived_filters": q_derived_filters,
         "full_outer_agreement": q_full_outer_agreement,
         "mahalanobis_flags": q_mahalanobis_flags,
         "drift_psi": q_drift_psi,
