@@ -2253,6 +2253,48 @@ def o_doc_chunking() -> str:
     """
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (functions/sampling.py
+    deterministic_split): md5-bucket of the doc id -> 90/5/5 split.
+    Stable under corpus growth, engine- and cluster-size-independent,
+    map-only. Gated as the per-(split, lang) count + token-mass summary
+    so the hash values, boundaries, and CASE ordering all land in the
+    comparison."""
+    from anomalydetection_spark.functions.sampling import deterministic_split
+
+    d = _td(spark, sf_dir)
+    out = deterministic_split(
+        d, {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint"))
+         .cast("bigint").alias("n_tokens"),
+    )
+
+
+def o_dataset_split() -> str:
+    # bucket = int64 of the first 15 md5 hex digits (positional fold —
+    # the proven conv(substr(md5,1,15),16,10) parity construction), mod 1e6
+    return """
+    WITH b AS (
+      SELECT doc_id, lang, text,
+             CAST(SUM((CAST(position(substring(md5('split_' || CAST(doc_id AS VARCHAR)), i+1, 1)
+                            IN '0123456789abcdef') - 1 AS HUGEINT))
+                      << (4*(14 - i))) AS BIGINT) % 1000000 AS bucket
+      FROM documents, (SELECT UNNEST(range(15)) AS i)
+      GROUP BY doc_id, lang, text
+    )
+    SELECT CASE WHEN bucket < 900000 THEN 'train'
+                WHEN bucket < 950000 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM b
+    GROUP BY 1, 2
+    """
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH embedding near-dup — the CORPUS-SCALE path for embedding
     dedup (functions/similarity.py cosine_near_dup_lsh): banded random-
@@ -2564,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracled + locally replica-verified at 3 SFs
         "ivf_pq_topk": q_ivf_pq_topk,
         "doc_chunking": q_doc_chunking,
+        "dataset_split": q_dataset_split,
         "topk_global": q_topk_global,
         "anti_join_inactive": q_anti_join_inactive,
         "union_schema_fill": q_union_schema_fill,
@@ -2585,6 +2628,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_topk": o_pq_adc_topk(),
         "ivf_pq_topk": o_ivf_pq_topk(),
         "doc_chunking": o_doc_chunking(),
+        "dataset_split": o_dataset_split(),
         "dedup_clusters": o_dedup_clusters(),
         "text_gopher_quality": o_text_gopher_quality(),
         "benchmark_contamination": o_benchmark_contamination(),

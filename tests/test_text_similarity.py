@@ -531,3 +531,40 @@ def test_chunk_documents_overlap_matches_python_reference(spark):
             ch = toks[start:start + 4]
             want[(doc_id, idx)] = (len(ch), " ".join(ch))
     assert got == want
+
+
+def test_deterministic_split_stability_and_fractions(spark):
+    """Hash-bucket splitting: assignments are a pure function of the id
+    (identical on a grown corpus — no train/val leakage), splits are
+    disjoint + exhaustive, fractions land near targets, the sample is a
+    strict filter of the same rule, and the plan is map-only."""
+    from anomalydetection_spark.functions.sampling import (
+        deterministic_sample, deterministic_split)
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text"))
+    out = deterministic_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(full) == 5000
+    counts = {}
+    for v in full.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert abs(counts["train"] / 5000 - 0.8) < 0.02
+    assert abs(counts["val"] / 5000 - 0.1) < 0.01
+    assert abs(counts["test"] / 5000 - 0.1) < 0.01
+    # growth stability: the first 1000 ids keep their assignment exactly
+    sub = deterministic_split(docs.filter(F.col("doc_id") < 1000),
+                              {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert {r["doc_id"]: r["split"] for r in sub.collect()} == \
+           {k: v for k, v in full.items() if k < 1000}
+    # deterministic_sample(f) == rows whose bucket falls under f
+    kept = {r["doc_id"] for r in
+            deterministic_sample(docs, 0.25, salt="split").collect()}
+    assert 0.22 < len(kept) / 5000 < 0.28
+    # same salt + fraction == prefix of the split rule: every kept row
+    # re-kept when sampling again at a larger fraction
+    kept_half = {r["doc_id"] for r in
+                 deterministic_sample(docs, 0.5, salt="split").collect()}
+    assert kept <= kept_half
