@@ -2295,6 +2295,46 @@ def o_dataset_split() -> str:
     """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (functions/text.py
+    tfidf_top_terms): top-3 tokens by tf * ln((N+1)/(df+1)), ranked on
+    the 6dp-ROUNDed score (ln is not IEEE-correctly-rounded, so raw-
+    double ranking could differ across engines by an ulp; rounding
+    before the window makes the rank engine-stable, token-ASC ties)."""
+    from anomalydetection_spark.functions.text import tfidf_top_terms
+
+    d = _td(spark, sf_dir)
+    return tfidf_top_terms(d, k=3)
+
+
+def o_tfidf_top_terms() -> str:
+    return """
+    WITH toks AS (
+      SELECT doc_id, u.token
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(token)
+      WHERE u.token <> ''
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             ROUND(tf.tf * LN((CAST(n.n_docs AS DOUBLE) + 1) / (df.df + 1)), 6) AS score_r
+      FROM tf JOIN df USING (token), n
+    )
+    SELECT doc_id, token, tf, score_r, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_r DESC, token ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH embedding near-dup — the CORPUS-SCALE path for embedding
     dedup (functions/similarity.py cosine_near_dup_lsh): banded random-
@@ -2607,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": q_ivf_pq_topk,
         "doc_chunking": q_doc_chunking,
         "dataset_split": q_dataset_split,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "topk_global": q_topk_global,
         "anti_join_inactive": q_anti_join_inactive,
         "union_schema_fill": q_union_schema_fill,
@@ -2629,6 +2670,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_topk": o_ivf_pq_topk(),
         "doc_chunking": o_doc_chunking(),
         "dataset_split": o_dataset_split(),
+        "tfidf_top_terms": o_tfidf_top_terms(),
         "dedup_clusters": o_dedup_clusters(),
         "text_gopher_quality": o_text_gopher_quality(),
         "benchmark_contamination": o_benchmark_contamination(),

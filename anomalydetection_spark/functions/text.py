@@ -443,3 +443,44 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 64,
             F.array_join("__c", " ").alias("chunk"),
         )
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3,
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, token, tf, score_r, rank): each document's ``k``
+    highest-TF-IDF tokens — the standard keyword-extraction /
+    representative-terms op of a text-analysis pipeline.
+
+    score = tf · ln((N+1)/(df+1)) (add-one smoothed idf), ROUNDed to 6dp
+    BEFORE ranking: ln is the one libm call here that IEEE does not
+    require to be correctly rounded (sqrt and division are), so ranking
+    on the raw double could disagree across engines by an ulp — ranking
+    on the rounded score (ties broken token-ASC) is engine-stable.
+
+    Plan shape at scale: tokens explode map-side; tf is one
+    (doc, token)-keyed aggregation; df is one token-keyed aggregation
+    over the DISTINCT (doc, token) pairs tf already materialized (no
+    second pass over raw tokens); the tf×df join keys on token; the
+    top-k is a per-doc window. Three keyed shuffles + one count — each
+    on a natural key, none on raw text volume."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    n_docs = docs.select(id_col).distinct().count()
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"))
+    df_ = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    score = F.round(
+        F.col("tf") * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)),
+        6,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_r"), F.asc("token"))
+    return (
+        tf.join(df_, "token")
+        .withColumn("score_r", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "score_r", "rank")
+    )

@@ -568,3 +568,33 @@ def test_deterministic_split_stability_and_fractions(spark):
     kept_half = {r["doc_id"] for r in
                  deterministic_sample(docs, 0.5, salt="split").collect()}
     assert kept <= kept_half
+
+
+def test_tfidf_top_terms_matches_python_reference(spark):
+    """TF-IDF keyword extraction equals the plain-python computation:
+    smoothed idf, 6dp-rounded scores, rank by (score desc, token asc),
+    and a corpus-wide token never outranks a discriminative one."""
+    import math
+
+    from anomalydetection_spark.functions.text import tfidf_top_terms
+
+    rows = [("d1", "cat cat cat the the"), ("d2", "dog the the"),
+            ("d3", "cat dog bird the")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {(r["doc_id"], r["rank"]): (r["token"], r["tf"], r["score_r"])
+           for r in tfidf_top_terms(df, k=2).collect()}
+
+    docs = {d: t.split() for d, t in rows}
+    dfreq = {}
+    for toks in docs.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want = {}
+    for d, toks in docs.items():
+        scored = sorted(
+            ((round(toks.count(t) * math.log(4 / (dfreq[t] + 1)), 6), t)
+             for t in set(toks)), key=lambda x: (-x[0], x[1]))
+        for i, (sc, t) in enumerate(scored[:2], 1):
+            want[(d, i)] = (t, toks.count(t), sc)
+    assert got == want
+    assert got[("d1", 1)][0] == "cat"   # 'the' (df=3) never wins
