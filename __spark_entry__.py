@@ -2276,21 +2276,23 @@ def o_dataset_split() -> str:
     # bucket = int64 of the first 15 md5 hex digits (positional fold —
     # the proven conv(substr(md5,1,15),16,10) parity construction), mod 1e6
     return """
-    WITH b AS (
-      SELECT doc_id, lang, text,
+    WITH hb AS (
+      -- bucket keyed by doc_id ALONE (grouping by extra columns would
+      -- silently dedup identical physical rows, unlike the Spark side)
+      SELECT doc_id,
              CAST(SUM((CAST(position(substring(md5('split_' || CAST(doc_id AS VARCHAR)), i+1, 1)
                             IN '0123456789abcdef') - 1 AS HUGEINT))
                       << (4*(14 - i))) AS BIGINT) % 1000000 AS bucket
-      FROM documents, (SELECT UNNEST(range(15)) AS i)
-      GROUP BY doc_id, lang, text
+      FROM (SELECT DISTINCT doc_id FROM documents), (SELECT UNNEST(range(15)) AS i)
+      GROUP BY doc_id
     )
     SELECT CASE WHEN bucket < 900000 THEN 'train'
                 WHEN bucket < 950000 THEN 'val'
                 ELSE 'test' END AS split,
-           lang,
+           d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-    FROM b
+           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents d JOIN hb USING (doc_id)
     GROUP BY 1, 2
     """
 
@@ -2298,13 +2300,16 @@ def o_dataset_split() -> str:
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF keyword extraction (functions/text.py
     tfidf_top_terms): top-3 tokens by tf * ln((N+1)/(df+1)), ranked on
-    the 6dp-ROUNDed score (ln is not IEEE-correctly-rounded, so raw-
-    double ranking could differ across engines by an ulp; rounding
-    before the window makes the rank engine-stable, token-ASC ties)."""
+    the raw score (token-ASC ties; a 1-ulp cross-engine ln difference
+    flips a comparison only for scores within ~1e-16 — far rarer than
+    the repr-tie hazard of rounding first). The gate hashes the INTEGER
+    columns only (tf, df, rank): decimal ROUND itself diverges between
+    engines on shortest-repr ties, so the rounded display score stays
+    out of the comparison."""
     from anomalydetection_spark.functions.text import tfidf_top_terms
 
     d = _td(spark, sf_dir)
-    return tfidf_top_terms(d, k=3)
+    return tfidf_top_terms(d, k=3).drop("score_r")
 
 
 def o_tfidf_top_terms() -> str:
@@ -2312,7 +2317,7 @@ def o_tfidf_top_terms() -> str:
     WITH toks AS (
       SELECT doc_id, u.token
       FROM documents, UNNEST(string_split(text, ' ')) AS u(token)
-      WHERE u.token <> ''
+      WHERE u.token <> '' AND doc_id IS NOT NULL
     ),
     n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
     tf AS (
@@ -2323,13 +2328,13 @@ def o_tfidf_top_terms() -> str:
       SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
     ),
     scored AS (
-      SELECT tf.doc_id, tf.token, tf.tf,
-             ROUND(tf.tf * LN((CAST(n.n_docs AS DOUBLE) + 1) / (df.df + 1)), 6) AS score_r
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             tf.tf * LN((CAST(n.n_docs AS DOUBLE) + 1) / (df.df + 1)) AS score
       FROM tf JOIN df USING (token), n
     )
-    SELECT doc_id, token, tf, score_r, CAST(rank AS INT) AS rank FROM (
+    SELECT doc_id, token, tf, df, CAST(rank AS INT) AS rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                                   ORDER BY score_r DESC, token ASC) AS rank
+                                   ORDER BY score DESC, token ASC) AS rank
       FROM scored
     ) WHERE rank <= 3
     """

@@ -48,10 +48,17 @@ def deterministic_split(df: DataFrame, splits: dict[str, float],
     (name → fraction, summing to ~1; the LAST split absorbs rounding
     remainder so the assignment is total). Fractions are honored to
     1/10^6. Map-only and idempotent: same (id, salt) → same split,
-    forever, on any engine or cluster size."""
+    forever, on any engine or cluster size. NULL ids hash to a NULL
+    bucket and land in the LAST split (the CASE remainder) — malformed
+    rows belong to no fraction; flag them upstream with NotNullCheck."""
     fracs = list(splits.values())
     if min(fracs) < 0 or not 0.999 <= sum(fracs) <= 1.001:
         raise ValueError(f"split fractions must be >=0 and sum to ~1: {splits}")
+    for name, frac in list(splits.items())[:-1]:
+        if frac > 0 and int(round(frac * _BUCKETS)) == 0:
+            raise ValueError(
+                f"split {name!r} fraction {frac} is below the 1/{_BUCKETS} "
+                f"bucket granularity — it would be silently empty")
     b = split_bucket(id_col, salt)
     expr = None
     acc = 0.0
@@ -74,7 +81,8 @@ def deterministic_sample(df: DataFrame, fraction: float,
     keeps exactly the rows whose bucket < fraction·10^6. Unlike
     ``df.sample`` the kept set is a pure function of (id, salt) — stable
     across runs, engines, partitionings, and corpus growth, and the
-    predicate is scan-side (map-only)."""
+    predicate is scan-side (map-only). NULL ids are never kept (NULL
+    compares unknown) — mirror of deterministic_split's remainder rule."""
     if not 0 < fraction <= 1:
         raise ValueError("fraction must be in (0, 1]")
     bound = int(round(fraction * _BUCKETS))

@@ -451,11 +451,20 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
     highest-TF-IDF tokens — the standard keyword-extraction /
     representative-terms op of a text-analysis pipeline.
 
-    score = tf · ln((N+1)/(df+1)) (add-one smoothed idf), ROUNDed to 6dp
-    BEFORE ranking: ln is the one libm call here that IEEE does not
-    require to be correctly rounded (sqrt and division are), so ranking
-    on the raw double could disagree across engines by an ulp — ranking
-    on the rounded score (ties broken token-ASC) is engine-stable.
+    score = tf · ln((N+1)/(df+1)) (add-one smoothed idf). Ranking uses
+    the RAW double score (token-ASC ties): ln is the one libm call here
+    IEEE does not require to be correctly rounded, so two engines can
+    disagree by an ulp — but an ulp flips a COMPARISON only when two
+    scores sit within ~1e-16 of each other, far rarer than the ~1e-7
+    repr-tie hazard of rounding the score first (decimal ROUND itself
+    differs between engines on shortest-repr ties). The returned
+    ``score_r`` is 6dp-rounded for display; cross-engine gates should
+    hash the integer columns (tf, df, rank), not score_r.
+
+    NULL-``id_col`` rows are dropped (a keyed per-document statistic is
+    undefined for them; upstream NotNullCheck owns flagging them). N is
+    computed with one eager count at call time — on an expensive
+    upstream pipeline persist the input first or the lineage runs twice.
 
     Plan shape at scale: tokens explode map-side; tf is one
     (doc, token)-keyed aggregation; df is one token-keyed aggregation
@@ -463,6 +472,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
     second pass over raw tokens); the tf×df join keys on token; the
     top-k is a per-doc window. Three keyed shuffles + one count — each
     on a natural key, none on raw text volume."""
+    docs = docs.filter(F.col(id_col).isNotNull())
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
@@ -471,16 +481,15 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
         F.count(F.lit(1)).cast("bigint").alias("tf"))
     df_ = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("df"))
-    score = F.round(
-        F.col("tf") * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)),
-        6,
-    )
+    score = F.col("tf") * F.log(
+        (F.lit(float(n_docs + 1))) / (F.col("df") + 1))
     w = Window.partitionBy(id_col).orderBy(
-        F.desc("score_r"), F.asc("token"))
+        F.desc("score"), F.asc("token"))
     return (
         tf.join(df_, "token")
-        .withColumn("score_r", score)
+        .withColumn("score", score)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(id_col, "token", "tf", "score_r", "rank")
+        .select(id_col, "token", "tf", "df",
+                F.round("score", 6).alias("score_r"), "rank")
     )
