@@ -2340,6 +2340,38 @@ def o_tfidf_top_terms() -> str:
     """
 
 
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary construction (functions/text.py vocabulary):
+    top-50 tokens by total occurrences with document frequencies and
+    Zipf rank — the tokenizer-training vocab step. Heavy path is
+    TakeOrderedAndProject (per-partition top-V heaps), never a global
+    sort; all compared values are exact integers."""
+    from anomalydetection_spark.functions.text import vocabulary
+
+    d = _td(spark, sf_dir)
+    return vocabulary(d, top_v=50)
+
+
+def o_vocabulary() -> str:
+    return """
+    WITH per_doc AS (
+      SELECT doc_id, u.token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(token)
+      WHERE u.token <> '' AND text IS NOT NULL
+      GROUP BY doc_id, u.token
+    ),
+    counts AS (
+      SELECT token, CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM per_doc GROUP BY token
+    )
+    SELECT token, n_total, n_docs, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_total DESC, token ASC) AS rank
+      FROM counts
+    ) WHERE rank <= 50
+    """
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH embedding near-dup — the CORPUS-SCALE path for embedding
     dedup (functions/similarity.py cosine_near_dup_lsh): banded random-
@@ -2653,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": q_doc_chunking,
         "dataset_split": q_dataset_split,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "vocabulary": q_vocabulary,
         "topk_global": q_topk_global,
         "anti_join_inactive": q_anti_join_inactive,
         "union_schema_fill": q_union_schema_fill,
@@ -2676,6 +2709,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunking": o_doc_chunking(),
         "dataset_split": o_dataset_split(),
         "tfidf_top_terms": o_tfidf_top_terms(),
+        "vocabulary": o_vocabulary(),
         "dedup_clusters": o_dedup_clusters(),
         "text_gopher_quality": o_text_gopher_quality(),
         "benchmark_contamination": o_benchmark_contamination(),

@@ -493,3 +493,37 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
         .select(id_col, "token", "tf", "df",
                 F.round("score", 6).alias("score_r"), "rank")
     )
+
+
+def vocabulary(docs: DataFrame, top_v: int = 50) -> DataFrame:
+    """(token, n_total, n_docs, rank): the corpus vocabulary cut at the
+    ``top_v`` most frequent tokens — the vocab-construction step of
+    tokenizer training (and the Zipf-curve input for corpus QA).
+
+    One map-side-combined (token) aggregation computes both the total
+    occurrence count and the document frequency (count of distinct docs
+    via a per-(doc, token) pre-count, which the tf stage of any pipeline
+    already materializes); the global cut is sort+limit, which Spark
+    executes as TakeOrderedAndProject — per-partition top-V then a
+    driver merge of V-row heaps, never a full sort of the vocabulary.
+    Rank ties break token-ASC so the cut is total and engine-stable
+    (counts are exact integers — no float comparisons anywhere)."""
+    per_doc = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts = per_doc.groupBy("token").agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    # cut FIRST via sort+limit (TakeOrderedAndProject: per-partition
+    # V-row heaps + a driver merge — a global row_number window here
+    # would single-task the entire vocabulary); the rank window then
+    # touches only the V survivors
+    cut = counts.orderBy(F.desc("n_total"), F.asc("token")).limit(top_v)
+    w = Window.orderBy(F.desc("n_total"), F.asc("token"))
+    return cut.withColumn("rank", F.row_number().over(w)) \
+        .select("token", "n_total", "n_docs", "rank")

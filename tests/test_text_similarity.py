@@ -598,3 +598,19 @@ def test_tfidf_top_terms_matches_python_reference(spark):
             want[(d, i)] = (t, toks.count(t), sc)
     assert got == want
     assert got[("d1", 1)][0] == "cat"   # 'the' (df=3) never wins
+
+
+def test_vocabulary_matches_python_and_uses_topk_plan(spark):
+    """Vocabulary counts/ranks equal the python reference and the cut
+    executes as TakeOrderedAndProject (per-partition top-V heaps), not a
+    global sort/window over the whole vocabulary."""
+    from anomalydetection_spark.functions.text import vocabulary
+
+    rows = [("d1", "a b b c c c"), ("d2", "b c"), ("d3", None)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = vocabulary(df, top_v=2)
+    assert "TakeOrderedAndProject" in \
+        out._jdf.queryExecution().executedPlan().toString()
+    got = [(r["token"], r["n_total"], r["n_docs"], r["rank"])
+           for r in out.collect()]
+    assert got == [("c", 4, 2, 1), ("b", 3, 2, 2)]
