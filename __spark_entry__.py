@@ -2283,16 +2283,22 @@ def o_dataset_split() -> str:
              CAST(SUM((CAST(position(substring(md5('split_' || CAST(doc_id AS VARCHAR)), i+1, 1)
                             IN '0123456789abcdef') - 1 AS HUGEINT))
                       << (4*(14 - i))) AS BIGINT) % 1000000 AS bucket
-      FROM (SELECT DISTINCT doc_id FROM documents), (SELECT UNNEST(range(15)) AS i)
+      FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL),
+           (SELECT UNNEST(range(15)) AS i)
       GROUP BY doc_id
     )
+    -- LEFT JOIN + bucket-NULL => last split: NULL doc_id never
+    -- equi-joins, and the engine rule sends NULL ids to the LAST
+    -- split (deterministic_split's CASE remainder) — an inner join
+    -- would silently DROP those rows and break parity on any fixture
+    -- that ever carries a NULL id
     SELECT CASE WHEN bucket < 900000 THEN 'train'
                 WHEN bucket < 950000 THEN 'val'
                 ELSE 'test' END AS split,
            d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
-    FROM documents d JOIN hb USING (doc_id)
+    FROM documents d LEFT JOIN hb USING (doc_id)
     GROUP BY 1, 2
     """
 
@@ -2612,16 +2618,32 @@ def q_ts_band_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's CORRECTNESS gate checks the
-    # FIRST 50 entries. Queries whose driver-green row is newest-needed
-    # (new gates + the four that sat past position 50 in round 2:
-    # text_bpe_tokens / scaffold_join / window_presence_gate /
-    # dedup_embedding_cosine) lead; long-stable gates that were
-    # driver-green in BOTH r01 and r02 rotate to the tail with the two
-    # documented rows-only model kernels (round 3 adds rollup_totals and
-    # drift_emd to the tail — their operator families keep in-window
-    # coverage via cube_stats and drift_psi/drift_ks — to admit the two
-    # new PQ gates).
+    # FIRST 50 entries.
+    #
+    # STANDING ROTATION POLICY (round 4+): every oracled gate must get a
+    # driver-green CORRECTNESS row within ONE round of landing. Gates that
+    # have never been driver-checked lead the window; veterans that are
+    # driver-green in >=2 rounds rotate to the tail to make room. Tail
+    # entries stay oracled and are verified each round by the local
+    # replica (scripts/oracle_parity.py) at 3 SFs.
+    #
+    # Last-driver-green round per TAIL entry (update each round):
+    #   r03: pivot_status_matrix, window_last_event, json_extract_stats,
+    #        cube_stats, unpivot_measures, row_argmax_driver,
+    #        full_outer_agreement, embedding_label_stats (all also green
+    #        r01+r02 where present; rotated out this round)
+    #   r02: rollup_totals, drift_emd, text_lang_id, doc_fingerprints,
+    #        ann_ivf_topk, topk_global, anti_join_inactive,
+    #        union_schema_fill, set_intersect_except,
+    #        window_ntile_quartiles (all green r01+r02)
+    #   rows-only by documented design: rec_analysis_flags, ts_band_flags
     return {
+        # -- never driver-checked (born at tail in r03) lead the window --
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "doc_chunking": q_doc_chunking,
+        "dataset_split": q_dataset_split,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "vocabulary": q_vocabulary,
         "text_bpe_tokens": q_text_bpe_tokens,
         "scaffold_join": q_scaffold_join,
         "window_presence_gate": q_window_presence_gate,
@@ -2639,19 +2661,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orphans": q_referential_orphans,
         "semi_join_active": q_semi_join_active,
         "groupby_pricing_summary": q_groupby_pricing_summary,
-        "pivot_status_matrix": q_pivot_status_matrix,
-        "unpivot_measures": q_unpivot_measures,
-        "window_last_event": q_window_last_event,
         "window_topk_orders": q_window_topk_orders,
         "window_group_share": q_window_group_share,
         "window_lead_lag_delta": q_window_lead_lag_delta,
-        "row_argmax_driver": q_row_argmax_driver,
         "derived_filters": q_derived_filters,
-        "full_outer_agreement": q_full_outer_agreement,
         "mahalanobis_flags": q_mahalanobis_flags,
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
-        "json_extract_stats": q_json_extract_stats,
         "asof_join_clicks": q_asof_join_clicks,
         "session_stats": q_session_stats,
         "robust_z_flags": q_robust_z_flags,
@@ -2663,29 +2679,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_hamming64": q_dedup_hamming64,
         "skew_salted_counts": q_skew_salted_counts,
         "column_stats_by_group": q_column_stats_by_group,
-        "cube_stats": q_cube_stats,
         "text_token_stats": q_text_token_stats,
         "text_quality_buckets": q_text_quality_buckets,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_label_stats": q_embedding_label_stats,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         # ---- positions 51+ (outside the driver's 50-entry window) ----
+        # Rotated out this round (driver-green r03, most also r01+r02):
+        "pivot_status_matrix": q_pivot_status_matrix,
+        "unpivot_measures": q_unpivot_measures,
+        "window_last_event": q_window_last_event,
+        "row_argmax_driver": q_row_argmax_driver,
+        "full_outer_agreement": q_full_outer_agreement,
+        "json_extract_stats": q_json_extract_stats,
+        "cube_stats": q_cube_stats,
+        "embedding_label_stats": q_embedding_label_stats,
+        # Driver-green r01+r02:
         "rollup_totals": q_rollup_totals,
         "drift_emd": q_drift_emd,
         "text_lang_id": q_text_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # ivf_pq_topk composes two gated halves (ivf_centroid_update +
-        # the PQ pair in-window; ann_ivf_topk green r01+r02) and is
-        # oracled + locally replica-verified at 3 SFs
-        "ivf_pq_topk": q_ivf_pq_topk,
-        "doc_chunking": q_doc_chunking,
-        "dataset_split": q_dataset_split,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "vocabulary": q_vocabulary,
         "topk_global": q_topk_global,
         "anti_join_inactive": q_anti_join_inactive,
         "union_schema_fill": q_union_schema_fill,

@@ -66,11 +66,15 @@ def input_fingerprint(spark: SparkSession, path: str) -> str:
     for every remote input, silently defeating snapshot pinning.
 
     Both branches emit identical entries for the same data: paths
-    RELATIVE to the listed root and mtimes at SECOND granularity. An
-    absolute-path/ms-mtime fingerprint would (a) differ between the two
-    branches for local data and (b) change when identical data is moved
-    or remounted — breaking 'equal fingerprint ⇔ same data version' and
-    forcing spurious recomputes."""
+    RELATIVE to the listed root and mtimes at MILLISECOND granularity
+    (Hadoop reports ms natively; locally ``st_mtime_ns // 1e6``). Second
+    granularity would open a 1000× wider false-equal window: a
+    same-length file overwritten within the same second as the pinned
+    snapshot would fingerprint identically and the runner would silently
+    resume committed units against changed data — the exact failure the
+    snapshot pin exists to catch. Relative paths keep 'equal fingerprint
+    ⇔ same data version' stable when identical data is moved or
+    remounted."""
     entries = []
     try:
         jvm = spark._jvm
@@ -86,7 +90,7 @@ def input_fingerprint(spark: SparkSession, path: str) -> str:
             p = st.getPath().toUri().getPath()
             rel = p[len(root):].lstrip("/") if p.startswith(root) else p
             entries.append(
-                f"{rel}:{st.getLen()}:{st.getModificationTime() // 1000}"
+                f"{rel}:{st.getLen()}:{st.getModificationTime()}"
             )
     except Exception:
         # no JVM gateway (Spark Connect): local filesystem only
@@ -102,7 +106,9 @@ def input_fingerprint(spark: SparkSession, path: str) -> str:
                 p = os.path.join(root, f)
                 st = os.stat(p)
                 entries.append(
-                    f"{os.path.relpath(p, path)}:{st.st_size}:{int(st.st_mtime)}"
+                    # st_mtime_ns // 1e6 is exact ms (float st_mtime*1000
+                    # can truncate 1ms differently than Java lastModified)
+                    f"{os.path.relpath(p, path)}:{st.st_size}:{st.st_mtime_ns // 1_000_000}"
                 )
     if not entries:
         raise ValueError(
@@ -150,6 +156,7 @@ class CheckpointedRunner:
         n_buckets: int = 16,
         allow_snapshot_change: bool = False,
         stage_buckets: bool = False,
+        staging_gc_ttl_sec: float = 24 * 3600,
     ):
         if (unit_col is None) == (bucket_key is None):
             raise ValueError("exactly one of unit_col / bucket_key is required")
@@ -170,6 +177,11 @@ class CheckpointedRunner:
         self.n_buckets = n_buckets
         self.allow_snapshot_change = allow_snapshot_change
         self.stage_buckets = stage_buckets
+        # staging copies of OTHER tags whose _IN_USE marker is younger
+        # than this are presumed live (another runner sharing out_dir)
+        # and exempt from GC; each runner refreshes its own marker per run
+        self.staging_gc_ttl_sec = staging_gc_ttl_sec
+        self._staging_marker: str | None = None
 
     # -- ledger primitives -------------------------------------------------
     def _unit_scheme(self) -> str:
@@ -236,14 +248,29 @@ class CheckpointedRunner:
         if not os.path.exists(os.path.join(staged, "_SUCCESS")):
             # GC stale staging copies before writing a new one: a tag for
             # a different snapshot or bucket config can never be resumed
-            # against (the ledger's unit_scheme/snapshot checks reject
-            # it), and each copy is input-sized — without this, every
-            # config change would leave a full copy of the table behind
+            # against by THIS runner (the ledger's unit_scheme/snapshot
+            # checks reject it), and each copy is input-sized — without
+            # this, every config change would leave a full copy of the
+            # table behind. Deletion is scoped to tags whose _IN_USE
+            # marker is missing or older than staging_gc_ttl_sec: a
+            # concurrent runner sharing out_dir with a different
+            # snapshot/bucket config refreshes its marker each run, so
+            # its live copy is never rmtree'd mid-scan.
             if os.path.isdir(root):
                 import shutil
+                import time
 
+                now = time.time()
                 for old in os.listdir(root):
-                    if old != tag:
+                    if old == tag:
+                        continue
+                    marker = os.path.join(root, old, "_IN_USE")
+                    try:
+                        fresh = (now - os.path.getmtime(marker)
+                                 < self.staging_gc_ttl_sec)
+                    except OSError:
+                        fresh = False
+                    if not fresh:
                         shutil.rmtree(os.path.join(root, old),
                                       ignore_errors=True)
             b = F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.n_buckets))
@@ -253,6 +280,14 @@ class CheckpointedRunner:
                 .partitionBy("__bucket")
                 .parquet(staged)
             )
+        # liveness marker (fresh write OR reuse): held for the duration
+        # of run() so a concurrent runner's GC pass leaves this copy
+        # alone, removed at run end so sequential config changes still
+        # reclaim immediately; the TTL reclaims markers leaked by crashes
+        marker = os.path.join(staged, "_IN_USE")
+        with open(marker, "w") as fh:
+            fh.write("")
+        self._staging_marker = marker
         sdf = spark.read.parquet(staged)
         return [
             (
@@ -312,6 +347,21 @@ class CheckpointedRunner:
             )
         report = RunReport(snapshot=snapshot)
         lineage_rows = []
+        try:
+            return self._run_units(df, spark, snapshot, report, lineage_rows)
+        finally:
+            # release the staging liveness marker so the NEXT config
+            # change can GC this copy; crashes that skip this line are
+            # covered by the marker TTL
+            if self._staging_marker is not None:
+                try:
+                    os.remove(self._staging_marker)
+                except OSError:
+                    pass
+                self._staging_marker = None
+
+    def _run_units(self, df: DataFrame, spark, snapshot: str,
+                   report: RunReport, lineage_rows: list) -> RunReport:
         for unit, slice_df in self._units(df, snapshot):
             rec = self._completed(unit, snapshot)
             if rec is not None:

@@ -384,7 +384,9 @@ def ivf_centroid_update(emb: DataFrame, centroids: DataFrame,
     — n·d narrow rows that combine map-side to ≤ C·d partials per task.
     Sums are exact decimals (order-insensitive across the shuffle merge),
     so any engine reproduces the means bit-for-bit. Iterate k-means by
-    feeding the packed result back as ``centroids``.
+    feeding the packed result straight back as ``centroids``: the
+    centroid frame may carry its id as either ``vec_id`` or ``bucket``
+    (the packed output uses ``bucket``; it is renamed internally).
 
     Precondition: embedding elements must be dense (no NULL element —
     ``F.count`` skips NULLs, which would make ``n`` and the per-position
@@ -397,6 +399,8 @@ def ivf_centroid_update(emb: DataFrame, centroids: DataFrame,
     silently shrink C across Lloyd iterations. With ``melted=True``,
     returns the raw flat (bucket, pos, mean, n) aggregation instead
     (non-empty buckets only — the cross-engine-gated form)."""
+    if "vec_id" not in centroids.columns and "bucket" in centroids.columns:
+        centroids = centroids.withColumnRenamed("bucket", "vec_id")
     dim = embedding_dim(emb)
     v = _with_norm(emb, "vec_id", "ea", "na2", dim)
     best = F.element_at(_centroid_scores(centroids, dim), 1)

@@ -446,7 +446,8 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 64,
 
 
 def tfidf_top_terms(docs: DataFrame, k: int = 3,
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    n_docs: int | None = None) -> DataFrame:
     """(doc_id, token, tf, score_r, rank): each document's ``k``
     highest-TF-IDF tokens — the standard keyword-extraction /
     representative-terms op of a text-analysis pipeline.
@@ -462,9 +463,12 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
     hash the integer columns (tf, df, rank), not score_r.
 
     NULL-``id_col`` rows are dropped (a keyed per-document statistic is
-    undefined for them; upstream NotNullCheck owns flagging them). N is
-    computed with one eager count at call time — on an expensive
-    upstream pipeline persist the input first or the lineage runs twice.
+    undefined for them; upstream NotNullCheck owns flagging them). N
+    (the distinct non-NULL document count) comes from ``n_docs`` when
+    the caller already knows it — zero extra jobs, the same escape
+    hatch heavy_hitters' ``total_rows`` provides — otherwise from one
+    eager count at call time, in which case persist an expensive
+    upstream lineage first or it runs twice.
 
     Plan shape at scale: tokens explode map-side; tf is one
     (doc, token)-keyed aggregation; df is one token-keyed aggregation
@@ -476,7 +480,8 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    n_docs = docs.select(id_col).distinct().count()
+    if n_docs is None:
+        n_docs = docs.select(id_col).distinct().count()
     tf = toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf"))
     df_ = tf.groupBy("token").agg(

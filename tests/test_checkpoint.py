@@ -3,6 +3,7 @@ per-partition lineage + metrics rows)."""
 
 import json
 import os
+import time
 
 import pytest
 
@@ -245,6 +246,57 @@ def test_sink_violations_carry_severity_column(spark, image_table, tmp_path):
     assert "severity" in v.columns
     vals = {r["severity"] for r in v.select("severity").distinct().collect()}
     assert vals and vals <= {"high", "medium", "low", None}
+
+
+def test_staging_gc_spares_concurrently_live_tags(spark, image_table, tmp_path):
+    """GC of stale staging copies is scoped by the _IN_USE liveness
+    marker (ADVICE r03): a sibling tag whose marker is fresh belongs to
+    a concurrent runner sharing out_dir and must survive a config-change
+    restage; once its marker ages past staging_gc_ttl_sec it is
+    reclaimed."""
+    df = spark.read.parquet(image_table)
+    out = str(tmp_path / "staged")
+    CheckpointedRunner(
+        _suite(), out, bucket_key="image_id", n_buckets=4, stage_buckets=True
+    ).run(df, input_path=image_table)
+    root = os.path.join(out, "_staging")
+    (n4_tag,) = os.listdir(root)
+    # simulate a concurrent runner mid-run on the n4 copy: marker present
+    with open(os.path.join(root, n4_tag, "_IN_USE"), "w"):
+        pass
+    CheckpointedRunner(
+        _suite(), out, bucket_key="image_id", n_buckets=8, stage_buckets=True
+    ).run(df, input_path=image_table)
+    tags = set(os.listdir(root))
+    assert n4_tag in tags and any("n8" in t for t in tags)  # both live
+    # the n8 runner released its own marker at run end
+    n8_tag = next(t for t in tags if "n8" in t)
+    assert not os.path.exists(os.path.join(root, n8_tag, "_IN_USE"))
+    # an aged-out marker no longer protects the copy
+    r = CheckpointedRunner(
+        _suite(), out, bucket_key="image_id", n_buckets=6, stage_buckets=True,
+        staging_gc_ttl_sec=0.0,
+    ).run(df, input_path=image_table)
+    assert sum(u.rows for u in r.units) == 2000
+    tags = os.listdir(root)
+    assert len(tags) == 1 and "n6" in tags[0]
+
+
+def test_fingerprint_ms_granularity_same_second_overwrite(tmp_path, spark):
+    """ADVICE r03 (medium): a same-length file overwritten within the
+    same wall-clock second must change the fingerprint — second-level
+    mtimes made the runner silently resume against changed data."""
+    import shutil
+
+    d = tmp_path / "data"
+    d.mkdir()
+    src = "/root/testdata/sf0.001/region.parquet"
+    shutil.copy(src, d / "part-0.parquet")
+    f1 = input_fingerprint(spark, str(d))
+    time.sleep(0.005)  # well inside one second, beyond one millisecond
+    shutil.copy(src, d / "part-0.parquet")  # same bytes, same length
+    f2 = input_fingerprint(spark, str(d))
+    assert f1 != f2
 
 
 def test_staged_bucket_restages_on_config_change(spark, image_table, tmp_path):

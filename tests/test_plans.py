@@ -141,6 +141,24 @@ def test_heavy_hitters_finds_hot_phash(spark, images_path):
     assert len(list(jobs)) <= 2, list(jobs)
 
 
+def test_tfidf_with_supplied_n_docs_runs_zero_jobs_at_plan_time(spark):
+    """tfidf_top_terms(n_docs=...) must not run the hidden eager
+    distinct-count (the heavy_hitters total_rows escape hatch): building
+    the plan with the count supplied launches ZERO jobs, so an expensive
+    upstream lineage is never executed twice."""
+    from anomalydetection_spark.functions.text import tfidf_top_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("tfidf_plan", "tfidf plan-time job count")
+    try:
+        tfidf_top_terms(docs, k=3, n_docs=500)  # plan only, no action
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc._jsc.sc().statusTracker().getJobIdsForGroup("tfidf_plan")
+    assert len(list(jobs)) == 0, list(jobs)
+
+
 def test_near_dup_pair_stage_broadcasts_and_never_shuffles_embeddings(spark):
     from anomalydetection_spark.functions.similarity import cosine_near_dup_pairs
 

@@ -243,7 +243,10 @@ def test_ivf_centroid_update_converges_to_cluster_means(spark):
     # deliberately bad init: both seeds from cluster 0's first vectors
     init = emb.filter(F.col("vec_id").isin(0, 2))
 
-    c1 = ivf_centroid_update(emb, init).withColumnRenamed("bucket", "vec_id")
+    # the packed result feeds straight back as centroids (its 'bucket'
+    # id column is accepted as-is — ADVICE r03): the documented k-means
+    # iteration works without a manual rename
+    c1 = ivf_centroid_update(emb, init)
     c2 = ivf_centroid_update(emb, c1).withColumnRenamed("bucket", "vec_id")
     got = {r["vec_id"]: np.array(r["embedding"]) for r in c2.collect()}
 
