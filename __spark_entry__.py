@@ -2224,6 +2224,119 @@ def o_ivf_pq_topk() -> str:
     """
 
 
+def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ codebook training (functions/similarity.py
+    pq_train): one Lloyd iteration from the canonical first-K seed —
+    assignment is the map-only pq_encode argmin, the update is a single
+    narrow (subspace, code, spos) decimal-mean shuffle over all m
+    subspaces at once. Gated in the melted form exactly like
+    ivf_centroid_update: (subspace, code, spos, mean, n) with exact
+    decimal sums so both engines agree bit-for-bit."""
+    from anomalydetection_spark.functions.similarity import pq_train
+
+    emb = _te(spark, sf_dir)
+    return pq_train(emb, m=8, n_codes=8, n_iter=1, melted=True)
+
+
+def o_pq_train() -> str:
+    # one Lloyd update: group every vector's subvector elements by its
+    # argmin code (the shared `best` CTE) and take exact-decimal means
+    return _o_pq_common() + """
+    , sp AS (SELECT UNNEST(range(8)) AS spos)
+    SELECT CAST(b.s AS INT) AS subspace,
+           CAST(b.code AS INT) AS code,
+           CAST(sp.spos AS INT) AS spos,
+           ROUND(CAST(SUM(CAST(v.e[b.s*8 + sp.spos + 1] AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*), 8) AS mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM best b JOIN vs v USING (vec_id), sp
+    WHERE b.rn = 1
+    GROUP BY 1, 2, 3
+    """
+
+
+def q_ivf_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over a MATERIALIZED bucket layout (functions/similarity.py
+    write_ivf_layout + ivf_pq_topk_pruned): the corpus is persisted
+    partitioned by assigned IVF bucket with PQ codes alongside, and the
+    probe filter becomes REAL partition pruning — the serving scan lists
+    only the query's 3 probed bucket directories and reads only the
+    m-byte code column (plan-guarded in tests/test_plans.py). This is
+    what closes the r03 perf gap: on raw parquet the probe filter was a
+    post-scan predicate that still read the whole corpus. The layout is
+    materialized once per input CONTENT fingerprint under /tmp and
+    reused (the routed-scan cache pattern). Values are ADC scores over
+    the stored codes — identical to the on-the-fly ivf_pq_topk path."""
+    import os
+    import tempfile
+
+    from anomalydetection_spark.checkpoint import input_fingerprint
+    from anomalydetection_spark.functions.similarity import (
+        _query_vector,
+        ivf_pq_topk_pruned,
+        pq_codebooks,
+        write_ivf_layout,
+    )
+
+    emb = _te(spark, sf_dir)
+    fp = input_fingerprint(spark, f"{sf_dir}/embeddings.parquet").split(":")[-1]
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
+    out = os.path.join(tempfile.gettempdir(), f"adspark_ivf_layout_{tag}")
+    centroids = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    codebooks = pq_codebooks(emb, m=8, n_codes=8)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write_ivf_layout(emb, centroids, out, m=8, n_codes=8,
+                         codebooks=codebooks)
+    q = _query_vector(emb, 11)
+    return ivf_pq_topk_pruned(spark, out, centroids, codebooks, q,
+                              k=10, n_probe=3)
+
+
+def o_ivf_pq_pruned() -> str:
+    # identical semantics to o_ivf_pq_topk with query vec_id=11 and a
+    # 3-bucket probe set — the layout changes WHERE the bytes live, not
+    # the answer
+    return _o_pq_common() + """
+    , q AS (SELECT e FROM vs WHERE vec_id = 11),
+    cass AS (
+      SELECT vid AS vec_id, cid AS bucket FROM (
+        SELECT v.vec_id AS vid, c.vec_id AS cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 ROUND(list_dot_product(v.e, c.e)
+                       / SQRT(list_dot_product(v.e, v.e)
+                            * list_dot_product(c.e, c.e)), 8) DESC,
+                 c.vec_id ASC) AS rk
+        FROM vs v JOIN vs c ON c.vec_id < 8
+      ) WHERE rk = 1
+    ),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.vec_id AS cid,
+               ROW_NUMBER() OVER (ORDER BY
+                 ROUND(list_dot_product((SELECT e FROM q), c.e)
+                       / SQRT(list_dot_product((SELECT e FROM q), (SELECT e FROM q))
+                            * list_dot_product(c.e, c.e)), 8) DESC,
+                 c.vec_id ASC) AS rk
+        FROM vs c WHERE c.vec_id < 8
+      ) WHERE rk <= 3
+    ),
+    lut AS (
+      SELECT cb.s, cb.code,
+             list_dot_product((SELECT e[cb.s*8+1 : cb.s*8+8] FROM q), cb.v) AS val
+      FROM cb
+    )
+    SELECT b.vec_id, a.bucket,
+           CAST(SUM(CAST(ROUND(l.val, 8) AS DECIMAL(20,8))) AS DOUBLE) AS adc_score
+    FROM best b
+    JOIN cass a ON a.vec_id = b.vec_id
+    JOIN lut l ON l.s = b.s AND l.code = b.code
+    WHERE b.rn = 1 AND a.bucket IN (SELECT cid FROM probe)
+    GROUP BY b.vec_id, a.bucket
+    ORDER BY adc_score DESC, b.vec_id ASC
+    LIMIT 10
+    """
+
+
 def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size token-window chunking with overlap (functions/text.py
     chunk_documents): max_tokens=24, stride=16 — the context-window
@@ -2638,7 +2751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #        window_ntile_quartiles (all green r01+r02)
     #   rows-only by documented design: rec_analysis_flags, ts_band_flags
     return {
-        # -- never driver-checked (born at tail in r03) lead the window --
+        # -- new this round + never driver-checked lead the window --
+        "pq_train": q_pq_train,
+        "ivf_pq_pruned": q_ivf_pq_pruned,
         "ivf_pq_topk": q_ivf_pq_topk,
         "doc_chunking": q_doc_chunking,
         "dataset_split": q_dataset_split,
@@ -2721,6 +2836,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": o_dedup_embedding_lsh(),
         "pq_encode": o_pq_encode(),
         "pq_adc_topk": o_pq_adc_topk(),
+        "pq_train": o_pq_train(),
+        "ivf_pq_pruned": o_ivf_pq_pruned(),
         "ivf_pq_topk": o_ivf_pq_topk(),
         "doc_chunking": o_doc_chunking(),
         "dataset_split": o_dataset_split(),

@@ -630,6 +630,84 @@ def pq_encode(emb: DataFrame, m: int = 8, n_codes: int = 8,
     )
 
 
+def pq_train(emb: DataFrame, m: int = 8, n_codes: int = 8,
+             n_iter: int = 2, codebooks: list | None = None,
+             melted: bool = False):
+    """Per-subspace Lloyd training of the PQ codebooks (VERDICT r03 #3):
+    ``pq_codebooks`` is only the canonical k-means seed (first-K init);
+    a production product quantizer Lloyd-iterates EACH subspace — this
+    composes the same assign/mean machinery as ``ivf_centroid_update``
+    over the m subvector slices, all subspaces in ONE pass per
+    iteration.
+
+    Per iteration: assignment is ``pq_encode`` (map-only inlined-argmin,
+    no shuffle); the update is one narrow (subspace, code, pos) shuffle
+    of n·dim decimal partial sums that combine map-side to ≤ m·K·d
+    partials per task — the trained codebooks (m·K·d floats, driver-tiny)
+    feed the next iteration's inlined literals. Codes that attract zero
+    vectors keep their previous entry (same C-preservation rule as
+    ``ivf_centroid_update``). Means are exact-decimal sums / counts,
+    ROUND 8 — bit-reproducible on any engine.
+
+    Returns the trained ``[m][K][d]`` codebooks; with ``melted=True``
+    returns the FINAL iteration's (subspace, code, spos, mean, n) frame
+    instead (non-empty codes only — the cross-engine-gated form)."""
+    dim = embedding_dim(emb)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    if codebooks is None:
+        codebooks = pq_codebooks(emb, m, n_codes)
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    for it in range(n_iter):
+        enc = pq_encode(emb, m, n_codes, codebooks)
+        s_of = (F.col("pos") / F.lit(d)).cast("int")
+        flat = enc.select(
+            "codes", F.posexplode("embedding").alias("pos", "val")
+        ).select(
+            s_of.alias("subspace"),
+            F.pmod(F.col("pos"), F.lit(d)).alias("spos"),
+            F.element_at(F.col("codes"), s_of + 1).alias("code"),
+            F.col("val"),
+        )
+        agg = (
+            flat.groupBy("subspace", "code", "spos")
+            .agg(
+                F.sum(F.col("val").cast("double").cast("decimal(28,12)"))
+                .cast("double").alias("s"),
+                F.count("val").alias("n"),
+            )
+            .select(
+                "subspace", "code", "spos",
+                F.round(F.col("s") / F.col("n"), 8).alias("mean"), "n",
+            )
+        )
+        if melted and it == n_iter - 1:
+            return agg
+        # m·K·d rows — driver-tiny; empty codes carry their old entry
+        new = [[list(codebooks[s][c]) for c in range(n_codes)]
+               for s in range(m)]
+        for r in agg.collect():
+            new[int(r["subspace"])][int(r["code"])][int(r["spos"])] = \
+                float(r["mean"])
+        codebooks = new
+    return codebooks
+
+
+def pq_quantization_error(emb: DataFrame, m: int = 8, n_codes: int = 8,
+                          codebooks: list | None = None) -> float:
+    """Mean total squared quantization error Σ_s dist²(x_s, c_codes[s])
+    per vector — the objective Lloyd minimizes; one map-only pass +
+    a scalar agg."""
+    enc = pq_encode(emb, m, n_codes, codebooks)
+    return float(
+        enc.select(
+            F.avg(F.aggregate("dist2s", F.lit(0.0), lambda a, v: a + v))
+        ).first()[0]
+    )
+
+
 def pq_adc_topk(emb: DataFrame, query_id: int, k: int = 10, m: int = 8,
                 n_codes: int = 8) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: (vec_id, adc_score) of
@@ -682,6 +760,94 @@ def _adc_score(q: list, codebooks: list, m: int):
     return score
 
 
+def _probe_ids(centroids: DataFrame, q: list, n_probe: int) -> list[int]:
+    """The query's ``n_probe`` nearest centroid ids by cosine (DESC, id
+    ASC ties), computed driver-side over the ≤C collected centroids with
+    the SAME rounding as the engine expressions: Decimal(v) quantized
+    HALF_UP at 8dp is the exact-binary-value round that Spark's
+    BigDecimal(double).setScale(8, HALF_UP) and DuckDB ROUND apply, so
+    every engine reproduces the probe set."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    qq = _seq_dot(q, q)
+
+    def r8(v: float) -> float:
+        return float(Decimal(v).quantize(Decimal("1e-8"), ROUND_HALF_UP))
+
+    ranked = []
+    for r in sorted(centroids.collect(), key=lambda r: r["vec_id"]):
+        c = [float(x) for x in r["embedding"]]
+        cos = r8(_seq_dot(q, c) / math.sqrt(qq * _seq_dot(c, c)))
+        ranked.append((-cos, int(r["vec_id"])))
+    return [cid for _, cid in sorted(ranked)[:n_probe]]
+
+
+def write_ivf_layout(emb: DataFrame, centroids: DataFrame, path: str,
+                     m: int | None = None, n_codes: int = 8,
+                     codebooks: list | None = None) -> None:
+    """Persist the corpus PARTITIONED BY its assigned IVF bucket — the
+    storage layout that turns the IVF probe filter into real partition
+    pruning. On raw (unpartitioned) parquet, ``ivf_pq_topk``'s
+    ``bucket IN (probes)`` is a post-scan filter: every query still
+    reads and centroid-scores the full corpus. Over this layout the
+    same predicate is a PartitionFilter — the scan itself shrinks to
+    n_probe/n_buckets of the table (plan-guarded in tests/test_plans.py),
+    which at 10^12 rows is the difference between an ANN query and a
+    table scan. The Iceberg analog is a table partitioned by
+    ``bucket`` (identity transform on the assigned centroid id).
+
+    Bucket assignment is the same map-side inlined-centroid argmax as
+    ``ivf_assign``/``ivf_pq_topk`` — writing the layout is ONE pass over
+    the corpus, no shuffle except the write's own file distribution.
+    With ``m`` set, PQ codes (``pq_encode``) are materialized alongside,
+    so the serving scan can read the m-byte ``codes`` column and skip
+    the float vectors entirely. Reuses the staged-bucket write pattern
+    of checkpoint.py (stage once, prune every read)."""
+    dim = embedding_dim(emb)
+    base = emb.select(
+        "vec_id", "embedding",
+        F.col("embedding").alias("ea"),
+        _fold_dot(F.col("embedding"), F.col("embedding")).alias("na2"),
+    )
+    bucket = F.element_at(_centroid_scores(centroids, dim), 1)["cid"]
+    out = base.select("vec_id", "embedding", bucket.alias("bucket"))
+    if m is not None:
+        if codebooks is None:
+            codebooks = pq_codebooks(emb, m, n_codes)
+        out = pq_encode(out, m, n_codes, codebooks)
+    out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ivf_pq_topk_pruned(spark, layout_path: str, centroids: DataFrame,
+                       codebooks: list, query_vec: list,
+                       k: int = 10, n_probe: int = 2,
+                       m: int = 8) -> DataFrame:
+    """The IVF-PQ read path over a MATERIALIZED bucket layout
+    (``write_ivf_layout``): probe the query's ``n_probe`` nearest
+    centroids, then scan ONLY those bucket partitions — the probe
+    predicate prunes at the file-listing level (PartitionFilters), so
+    the job never touches the other n_buckets − n_probe directories —
+    and ADC-score the stored PQ codes. Identical results to
+    ``ivf_pq_topk`` on the same corpus/params (asserted in tests); the
+    scan reads the m-byte ``codes`` column, never the float vectors."""
+    layout = spark.read.parquet(layout_path)
+    if "codes" not in layout.columns:
+        raise ValueError(
+            "layout has no PQ codes — write it with write_ivf_layout(m=...)")
+    probe = _probe_ids(centroids, query_vec, n_probe)
+    score = _adc_score(query_vec, codebooks, m)
+    return (
+        layout.filter(F.col("bucket").isin([int(p) for p in probe]))
+        # partition-column type is directory-inferred (int) — cast back
+        # to the centroid id's type for parity with ivf_pq_topk
+        .select("vec_id", F.col("bucket").cast("long").alias("bucket"),
+                score.cast("double").alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ivf_pq_topk(emb: DataFrame, query_id: int, k: int = 10,
                 n_buckets: int = 8, n_probe: int = 2, m: int = 8,
                 n_codes: int = 8) -> DataFrame:
@@ -702,26 +868,11 @@ def ivf_pq_topk(emb: DataFrame, query_id: int, k: int = 10,
     SAME rounding as the engine expressions (HALF_UP at 8dp on
     sequential-fold cosines), so an independent engine reproduces the
     probe set, the candidate set, and every score bit-for-bit."""
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
-
     dim = embedding_dim(emb)
     centroids = emb.filter(F.col("vec_id") < n_buckets)         .select("vec_id", "embedding")
     codebooks = pq_codebooks(emb, m, n_codes)
     q = _query_vector(emb, query_id)
-    qq = _seq_dot(q, q)
-
-    def r8(v: float) -> float:
-        # Decimal(v) is the EXACT binary value of the double — matching
-        # Spark's BigDecimal(double).setScale(8, HALF_UP) and DuckDB ROUND
-        return float(Decimal(v).quantize(Decimal("1e-8"), ROUND_HALF_UP))
-
-    ranked = []
-    for r in sorted(centroids.collect(), key=lambda r: r["vec_id"]):
-        c = [float(x) for x in r["embedding"]]
-        cos = r8(_seq_dot(q, c) / math.sqrt(qq * _seq_dot(c, c)))
-        ranked.append((-cos, int(r["vec_id"])))
-    probe = [cid for _, cid in sorted(ranked)[:n_probe]]
+    probe = _probe_ids(centroids, q, n_probe)
 
     base = emb.select(
         "vec_id", "embedding",
