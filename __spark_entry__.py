@@ -2224,6 +2224,55 @@ def o_ivf_pq_topk() -> str:
     """
 
 
+def q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path (functions/media.py _decode_wav_int /
+    audio_wav_int_features): per-nation synthetic PCM16 WAV payloads —
+    hand-assembled RIFF containers around a closed-form integer sample
+    sequence s_i = ((2k+3)·i + 7k) mod 65536 − 32768 — are decoded by
+    the stdlib ``wave`` parser inside the Arrow kernel, and the gate
+    hashes all-integer raw-scale features (frame count, max/sum of |s|,
+    full-scale clip count). The oracle recomputes the features from the
+    sample FORMULA, so the container layout, parser, and kernel must all
+    agree with closed-form ground truth — not with themselves."""
+    import numpy as np
+
+    from anomalydetection_spark.functions.media import (
+        audio_wav_int_features,
+        pcm16_wav_bytes,
+    )
+
+    keys = sorted(
+        int(r[0])
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    rows = []
+    for k in keys:
+        n = 400 + 16 * k
+        s = ((np.int64(2 * k + 3) * np.arange(n, dtype=np.int64) + 7 * k)
+             % 65536) - 32768
+        rows.append((str(k), pcm16_wav_bytes(s.astype(np.int16), 8000)))
+    audio = spark.createDataFrame(rows, "media_id string, bytes binary")
+    return audio_wav_int_features(audio)
+
+
+def o_audio_wav_features() -> str:
+    return """
+    WITH k AS (SELECT n_nationkey AS key FROM nation),
+    s AS (
+      SELECT key, (((2*key + 3) * u.i + 7*key) % 65536) - 32768 AS v
+      FROM k, UNNEST(range(400 + 16*key)) AS u(i)
+    )
+    SELECT CAST(key AS VARCHAR) AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(MAX(ABS(v)) AS BIGINT) AS max_abs,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(SUM(CASE WHEN ABS(v) >= 32767 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped
+    FROM s GROUP BY key
+    """
+
+
 def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-subspace PQ codebook training (functions/similarity.py
     pq_train): one Lloyd iteration from the canonical first-K seed —
@@ -2752,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   rows-only by documented design: rec_analysis_flags, ts_band_flags
     return {
         # -- new this round + never driver-checked lead the window --
+        "audio_wav_features": q_audio_wav_features,
         "pq_train": q_pq_train,
         "ivf_pq_pruned": q_ivf_pq_pruned,
         "ivf_pq_topk": q_ivf_pq_topk,
@@ -2836,6 +2886,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": o_dedup_embedding_lsh(),
         "pq_encode": o_pq_encode(),
         "pq_adc_topk": o_pq_adc_topk(),
+        "audio_wav_features": o_audio_wav_features(),
         "pq_train": o_pq_train(),
         "ivf_pq_pruned": o_ivf_pq_pruned(),
         "ivf_pq_topk": o_ivf_pq_topk(),

@@ -455,9 +455,10 @@ def hamming_near_pairs(df: DataFrame, id_col: str, sig_col: str,
     equi-self-join on (segment, value) — never an O(n²) cross join. True
     duplicate CLUSTERS are inherently quadratic in pair count (a planted
     hot phash with m copies yields m(m−1)/2 pairs); dedup at corpus scale
-    should therefore group hamming-0 keys with a groupBy first and feed
-    only non-identical candidates here. Hot (segment, value) buckets are
-    plain shuffle keys — AQE skew-join splits them."""
+    should therefore use :func:`hamming_near_dup_clusters`, which groups
+    hamming-0 keys to one exemplar BEFORE this join and never
+    materializes identical-signature pairs. Hot (segment, value) buckets
+    are plain shuffle keys — AQE skew-join splits them."""
     s = df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
     nseg = max_hamming + 1
     bounds = [bits * j // nseg for j in range(nseg + 1)]
@@ -485,6 +486,63 @@ def hamming_near_pairs(df: DataFrame, id_col: str, sig_col: str,
         .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def hamming_near_dup_clusters(df: DataFrame, id_col: str, sig_col: str,
+                              bits: int = 64, max_hamming: int = 2,
+                              algorithm: str = "propagation",
+                              max_rounds: int = 50) -> DataFrame:
+    """Skew-proof hamming dedup end-to-end: (doc_id, cluster,
+    cluster_size, is_keeper) — identical output to
+    ``near_dup_clusters(hamming_near_pairs(df))`` (tested), WITHOUT ever
+    materializing identical-signature pairs (VERDICT r03 #4).
+
+    Identical signatures are pre-grouped to one EXEMPLAR (the min id per
+    distinct signature): a boilerplate-heavy corpus where m rows share a
+    signature contributes ONE row to the pigeonhole join instead of
+    m(m−1)/2 hamming-0 pairs — the quadratic term drops to the distinct-
+    signature pair graph, and members rejoin linearly through their
+    signature at labeling time.
+
+    Equivalence argument: rows with equal signatures are mutually
+    hamming-0, so a cluster's member set is a union of whole signature
+    groups; rep(x)=min-id(sig) means the min id over a connected set of
+    reps IS the min id over all their members — the same canonical
+    keeper ``near_dup_clusters`` elects. Edges survive grouping because
+    hamming(x, y) depends only on the signatures.
+
+    Scale shape: one groupBy(sig) (narrow — combines map-side), the
+    pigeonhole equi-join over DISTINCT signatures only, component
+    labeling over the (much smaller) rep graph, then one sig-keyed join
+    to fan labels back out to members."""
+    from anomalydetection_spark.functions.graph import (
+        min_label_components,
+        star_components,
+    )
+
+    s = df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+    ex = s.groupBy("sig").agg(F.min("id").alias("rep"))
+    reps = ex.select(F.col("rep").alias("id"), "sig")
+    rep_pairs = hamming_near_pairs(reps, "id", "sig", bits, max_hamming)
+    if algorithm == "star":
+        labels = star_components(rep_pairs, "id_a", "id_b", max_rounds)
+    elif algorithm == "propagation":
+        labels = min_label_components(rep_pairs, "id_a", "id_b", max_rounds)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    # reps untouched by any cross-signature pair label themselves
+    rep_lab = (
+        ex.join(labels, ex["rep"] == labels["node"], "left")
+        .select("sig", F.coalesce("label", "rep").alias("cluster"))
+    )
+    members = s.join(rep_lab, "sig").select(
+        F.col("id").alias("doc_id"), "cluster")
+    sizes = members.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return members.join(sizes, "cluster").select(
+        "doc_id", "cluster", "cluster_size",
+        (F.col("doc_id") == F.col("cluster")).alias("is_keeper"),
     )
 
 

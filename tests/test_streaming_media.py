@@ -61,14 +61,79 @@ def test_audio_features_plumbing(spark):
            {(r["media_id"], r["rms"]) for r in again}
 
 
-def test_audio_default_decoder_is_explicit_stub(spark):
+def test_audio_default_decoder_decodes_real_wav(spark):
+    """VERDICT r03 #7: PCM WAV is pure-stdlib, so the DEFAULT decoder is
+    real for it — a hand-assembled (struct-packed, not wave-written)
+    RIFF container round-trips through the stdlib parser with exact
+    features: a ±16384 square wave at 16-bit full scale 32768 has RMS
+    exactly 0.5; the integer kernel reproduces raw-scale sums; stereo
+    averages to mono; clipping at full scale is counted."""
+    import numpy as np
+
+    from anomalydetection_spark.functions.media import (
+        audio_wav_int_features,
+        pcm16_wav_bytes,
+    )
+
+    sq = np.tile(np.array([16384, -16384], dtype=np.int16), 512)
+    st = np.ravel(np.column_stack([np.full(256, 8192, dtype=np.int16),
+                                   np.full(256, 24576, dtype=np.int16)]))
+    cl = np.array([32767, -32768, 100, -100], dtype=np.int16)
+    rows = [
+        ("mono_sq", pcm16_wav_bytes(sq, 8000), "wav", 8000, 1, 128),
+        ("stereo", pcm16_wav_bytes(st, 16000, n_channels=2), "wav", 16000, 2, 16),
+        ("clipped", pcm16_wav_bytes(cl, 8000), "wav", 8000, 1, 1),
+    ]
     audio = spark.createDataFrame(
-        [("a0", b"xx" * 8, "wav", 16000, 1, 10)],
+        rows,
         "media_id string, bytes binary, codec string, sample_rate int, "
         "n_channels int, duration_ms int",
     )
-    with pytest.raises(Exception, match="(?i)audio codecs unavailable"):
-        audio_features(audio).collect()
+    feats = {r["media_id"]: r for r in audio_features(audio).collect()}
+    assert feats["mono_sq"]["decode_ok"]
+    assert feats["mono_sq"]["n_samples"] == 1024
+    assert feats["mono_sq"]["rms"] == pytest.approx(0.5, abs=1e-7)
+    # stereo mono-mean: (8192 + 24576)/2 / 32768 = 0.5 every frame
+    assert feats["stereo"]["n_samples"] == 256
+    assert feats["stereo"]["rms"] == pytest.approx(0.5, abs=1e-7)
+    assert feats["clipped"]["clipping_rate"] == pytest.approx(0.5)
+
+    ints = {r["media_id"]: r for r in audio_wav_int_features(audio).collect()}
+    assert ints["mono_sq"]["n_frames"] == 1024
+    assert ints["mono_sq"]["sample_rate"] == 8000
+    assert ints["mono_sq"]["max_abs"] == 16384
+    assert ints["mono_sq"]["sum_abs"] == 16384 * 1024
+    assert ints["mono_sq"]["n_clipped"] == 0
+    assert ints["clipped"]["n_clipped"] == 2
+    assert ints["stereo"]["n_frames"] == 256 and ints["stereo"]["sum_abs"] \
+        == (8192 + 24576) * 256
+
+
+def test_audio_default_decoder_corrupt_wav_and_compressed_codecs(spark):
+    """Corrupt WAV bytes degrade to decode_ok=False (per-row, the batch
+    survives); compressed codecs still fail loudly — they need an
+    injected decoder, and silently fake-decoding them would be worse."""
+    from anomalydetection_spark.functions.media import pcm16_wav_bytes
+    import numpy as np
+
+    good = pcm16_wav_bytes(np.array([1, -1], dtype=np.int16), 8000)
+    audio = spark.createDataFrame(
+        [("bad", b"RIFFxxxx" * 4, "wav", 16000, 1, 10),
+         ("good", good, "wav", 8000, 1, 1)],
+        "media_id string, bytes binary, codec string, sample_rate int, "
+        "n_channels int, duration_ms int",
+    )
+    got = {r["media_id"]: r for r in audio_features(audio).collect()}
+    assert not got["bad"]["decode_ok"] and got["bad"]["rms"] is None
+    assert got["good"]["decode_ok"]
+
+    mp3 = spark.createDataFrame(
+        [("a0", b"\xff\xfb" * 16, "mp3", 44100, 2, 10)],
+        "media_id string, bytes binary, codec string, sample_rate int, "
+        "n_channels int, duration_ms int",
+    )
+    with pytest.raises(Exception, match="(?i)codec 'mp3' unavailable"):
+        audio_features(mp3).collect()
 
 
 def test_frame_sampling_feeds_image_suite(spark):

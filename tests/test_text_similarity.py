@@ -292,6 +292,62 @@ def test_ivf_centroid_update_keeps_empty_buckets(spark):
     assert got[99]["embedding"] == [0.0, -1.0]  # old centroid carried
 
 
+def test_hamming_grouped_clusters_bound_hot_signature_pair_volume(spark):
+    """VERDICT r03 #4: a planted boilerplate signature with m=200 copies
+    makes the naive path materialize m(m−1)/2 = 19900 hamming-0 pairs;
+    the exemplar-grouped path must (a) keep the materialized pair set
+    bounded by the DISTINCT-signature graph, and (b) return exactly the
+    cluster labeling near_dup_clusters derives from the naive pairs —
+    including keepers, sizes, and singletons."""
+    import numpy as np
+
+    from anomalydetection_spark.functions.graph import near_dup_clusters
+    from anomalydetection_spark.functions.similarity import (
+        hamming_near_dup_clusters,
+        hamming_near_pairs,
+    )
+
+    rng = np.random.default_rng(17)
+    hot = int(rng.integers(0, 1 << 62))
+    rows = [(i, hot) for i in range(200)]                 # hot clique
+    rows += [(200, hot ^ 1), (201, hot ^ (1 << 40))]      # near the clique
+    rows += [(202, hot ^ 0b111)]                          # 3 flips — outside k=2
+    for i in range(203, 260):                             # random singletons
+        rows.append((i, int(rng.integers(0, 1 << 62))))
+    df = spark.createDataFrame(rows, "id long, phash long")
+
+    naive_pairs = hamming_near_pairs(df, "id", "phash", max_hamming=2)
+    assert naive_pairs.count() >= 200 * 199 // 2          # the quadratic blowup
+
+    # grouped path: the rep graph has ~60 distinct sigs — its pair count
+    # is the handful of cross-signature near-pairs, never the clique
+    s = df.groupBy("phash").agg(F.min("id").alias("rep"))
+    rep_pairs = hamming_near_pairs(
+        s.select(F.col("rep").alias("id"), F.col("phash")), "id", "phash",
+        max_hamming=2)
+    assert rep_pairs.count() <= 10
+
+    expect = {(r["doc_id"], r["cluster"], r["cluster_size"], r["is_keeper"])
+              for r in near_dup_clusters(naive_pairs, "id_a", "id_b").collect()}
+    got_df = hamming_near_dup_clusters(df, "id", "phash", max_hamming=2)
+    got = {(r["doc_id"], r["cluster"], r["cluster_size"], r["is_keeper"])
+           for r in got_df.collect()}
+    # near_dup_clusters only labels nodes that appear in a pair; the
+    # grouped path labels EVERY row (singletons label themselves) — the
+    # paired subgraph must agree exactly, singletons must self-label
+    assert expect <= got
+    singles = {g for g in got if g not in expect}
+    assert all(d == c and sz == 1 and k for d, c, sz, k in singles)
+    assert len(got) == 260
+
+    # both algorithms agree
+    got_star = {(r["doc_id"], r["cluster"], r["cluster_size"], r["is_keeper"])
+                for r in hamming_near_dup_clusters(
+                    df, "id", "phash", max_hamming=2,
+                    algorithm="star").collect()}
+    assert got_star == got
+
+
 def test_phash_hamming_near_pairs_exact_and_equi_join(spark):
     """64-bit pigeonhole near-dup on an int signature column (the phash
     twin of SimHash dedup): exact vs brute force incl. sign-bit flips,
