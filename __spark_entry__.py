@@ -2776,6 +2776,154 @@ def q_ts_band_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect/redact pass (functions/text.py pii_scan): email /
+    phone / SSN / IPv4 regex hits counted per document plus a redacted
+    copy with every hit replaced by its [CATEGORY] tag — map-only
+    codegen (regexp_count + chained regexp_replace), no shuffle, the
+    scrub-before-training pass of a web corpus pipeline. The synthetic
+    corpus carries no PII, so the gate injects deterministic PII spans
+    keyed off doc_id IDENTICALLY on both engines — the operator under
+    test is the scanner/redactor, not the fixture."""
+    from anomalydetection_spark.functions.text import pii_scan
+
+    d = _td(spark, sf_dir)
+    doc = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(doc % 4 == 0, F.concat(
+                F.lit(" contact u"), doc.cast("string"),
+                F.lit("@ex"), (doc % 7).cast("string"), F.lit(".org"),
+            )).otherwise(F.lit("")),
+            F.when(doc % 5 == 0, F.concat(
+                F.lit(" call 555-"),
+                F.lpad((doc % 1000).cast("string"), 3, "0"), F.lit("-"),
+                F.lpad((doc % 10000).cast("string"), 4, "0"),
+            )).otherwise(F.lit("")),
+            F.when(doc % 13 == 0, F.concat(
+                F.lit(" ssn "),
+                F.lpad((doc % 1000).cast("string"), 3, "0"), F.lit("-"),
+                F.lpad((doc % 100).cast("string"), 2, "0"), F.lit("-"),
+                F.lpad((doc % 10000).cast("string"), 4, "0"),
+            )).otherwise(F.lit("")),
+            F.when(doc % 11 == 0, F.concat(
+                F.lit(" ip 10.0."), (doc % 256).cast("string"),
+                F.lit("."), ((doc * 7) % 256).cast("string"),
+            )).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scan(injected)
+
+
+def o_text_pii_scan() -> str:
+    # patterns are the Java∩RE2 subset (functions/text.py PII_PATTERNS);
+    # redaction applies them in the same order on both engines. DuckDB's
+    # regexp_replace needs the explicit 'g' flag (Spark replaces all by
+    # default); COALESCE mirrors pii_scan's NULL-text → zero counts.
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}-\d{3}-\d{4}\b"
+    ssn = r"\b\d{3}-\d{2}-\d{4}\b"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    return f"""
+    WITH inj AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 4 = 0 THEN ' contact u'
+                  || CAST(doc_id AS VARCHAR) || '@ex'
+                  || CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' ssn '
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' ip 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.'
+                  || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+             AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(COALESCE(LEN(regexp_extract_all(text, '{email}')), 0) AS BIGINT) AS n_email,
+      CAST(COALESCE(LEN(regexp_extract_all(text, '{phone}')), 0) AS BIGINT) AS n_phone,
+      CAST(COALESCE(LEN(regexp_extract_all(text, '{ssn}')), 0) AS BIGINT) AS n_ssn,
+      CAST(COALESCE(LEN(regexp_extract_all(text, '{ipv4}')), 0) AS BIGINT) AS n_ipv4,
+      CAST(COALESCE(LEN(regexp_extract_all(text, '{email}')), 0)
+         + COALESCE(LEN(regexp_extract_all(text, '{phone}')), 0)
+         + COALESCE(LEN(regexp_extract_all(text, '{ssn}')), 0)
+         + COALESCE(LEN(regexp_extract_all(text, '{ipv4}')), 0) AS BIGINT) AS n_pii,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        text, '{email}', '[EMAIL]', 'g'), '{phone}', '[PHONE]', 'g'),
+        '{ssn}', '[SSN]', 'g'), '{ipv4}', '[IPV4]', 'g') AS redacted
+    FROM inj
+    """
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum eval-set sampler (functions/sampling.py
+    stratified_sample_exact): 7 docs per language, selected by
+    engine-identical md5 order. One shuffle on the strata key; the
+    rank<=k filter rewrites to a WindowGroupLimit so hot strata ship
+    ~k rows per map task, not their whole membership (plan-guarded)."""
+    from anomalydetection_spark.functions.sampling import (
+        stratified_sample_exact,
+    )
+
+    d = _td(spark, sf_dir)
+    out = stratified_sample_exact(d, k=7, strata_cols=["lang"])
+    return out.select("doc_id", "lang", "sample_rank")
+
+
+def o_stratified_sample() -> str:
+    return """
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5('strat_' || CAST(doc_id AS VARCHAR)) ASC,
+                          doc_id ASC) AS sample_rank
+      FROM documents WHERE doc_id IS NOT NULL
+    ) WHERE sample_rank <= 7
+    """
+
+
+def q_corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (functions/sampling.py packed_shards):
+    documents assigned in id order to contiguous fixed-budget training
+    shards via the two-pass distributed prefix sum — range partition →
+    per-partition totals → broadcast exclusive offsets — NEVER the
+    single-task no-PARTITION-BY window. All-integer arithmetic (exact
+    past 2^53, where a double quotient would silently round)."""
+    from anomalydetection_spark.functions.sampling import packed_shards
+
+    return packed_shards(_td(spark, sf_dir), budget=100_000)
+
+
+def o_corpus_pack_shards() -> str:
+    # the oracle may use the naive global window — DuckDB is single-node
+    # anyway; the ENGINE side is what must avoid it. // is DuckDB's
+    # integer division (exact, like Spark's DIV).
+    return """
+    WITH d AS (
+      SELECT doc_id, CAST(COALESCE(n_chars, 0) AS BIGINT) AS weight
+      FROM documents WHERE doc_id IS NOT NULL
+    ), c AS (
+      SELECT doc_id, weight,
+             CAST(COALESCE(SUM(weight) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM d
+    )
+    SELECT doc_id, weight, cum_before,
+           CAST(cum_before // 100000 AS BIGINT) AS shard
+    FROM c
+    """
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2798,9 +2946,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #        ann_ivf_topk, topk_global, anti_join_inactive,
     #        union_schema_fill, set_intersect_except,
     #        window_ntile_quartiles (all green r01+r02)
+    #   r03 (rotated out mid-round-4 to admit text_pii_scan +
+    #        corpus_pack_shards): ngram_jaccard_pairs, ann_cosine_topk
+    #        (both green r01+r02+r03; families keep in-window coverage
+    #        via dedup_minhash_lsh / dedup_simhash and ann_ivf_topk
+    #        siblings respectively — ann_cosine_topk's sibling is the
+    #        in-window ivf_pq_topk/ivf_pq_pruned pair), and
+    #        text_token_stats (green r01+r02+r03; covered in-window by
+    #        text_gopher_quality / text_quality_buckets / text_bpe_tokens)
     #   rows-only by documented design: rec_analysis_flags, ts_band_flags
     return {
         # -- new this round + never driver-checked lead the window --
+        "text_pii_scan": q_text_pii_scan,
+        "corpus_pack_shards": q_corpus_pack_shards,
+        "stratified_sample": q_stratified_sample,
         "audio_wav_features": q_audio_wav_features,
         "pq_train": q_pq_train,
         "ivf_pq_pruned": q_ivf_pq_pruned,
@@ -2844,14 +3003,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_hamming64": q_dedup_hamming64,
         "skew_salted_counts": q_skew_salted_counts,
         "column_stats_by_group": q_column_stats_by_group,
-        "text_token_stats": q_text_token_stats,
         "text_quality_buckets": q_text_quality_buckets,
         "dedup_exact": q_dedup_exact,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         # ---- positions 51+ (outside the driver's 50-entry window) ----
+        # Rotated out this round (driver-green r01+r02+r03):
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "text_token_stats": q_text_token_stats,
         # Rotated out this round (driver-green r03, most also r01+r02):
         "pivot_status_matrix": q_pivot_status_matrix,
         "unpivot_measures": q_unpivot_measures,
@@ -2879,6 +3039,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_pii_scan": o_text_pii_scan(),
+        "corpus_pack_shards": o_corpus_pack_shards(),
+        "stratified_sample": o_stratified_sample(),
         "text_bpe_tokens": o_text_bpe_tokens(),
         "scaffold_join": o_scaffold_join(),
         "window_presence_gate": o_window_presence_gate(),

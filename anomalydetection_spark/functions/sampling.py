@@ -87,3 +87,126 @@ def deterministic_sample(df: DataFrame, fraction: float,
         raise ValueError("fraction must be in (0, 1]")
     bound = int(round(fraction * _BUCKETS))
     return df.filter(split_bucket(id_col, salt) < F.lit(bound))
+
+
+def packed_shards(df: DataFrame, budget: int,
+                  weight_col: str = "n_chars", id_col: str = "doc_id",
+                  partitions: int | None = None) -> DataFrame:
+    """(id, weight, cum_before, shard): assign documents, in id order,
+    to contiguous fixed-budget shards — the sequence-packing / shard-
+    assignment step of training-data prep (fill each output shard with
+    ~``budget`` units of text, deterministically, preserving order).
+    ``shard = cum_before // budget`` where ``cum_before`` is the global
+    exclusive prefix sum of ``weight_col``.
+
+    Why not the one-line window form: ``SUM(w) OVER (ORDER BY id)`` has
+    no PARTITION BY, so Spark's WindowExec ships the ENTIRE corpus into
+    ONE task — the classic global-window scale-killer. This is the
+    two-pass distributed prefix sum instead:
+
+    1. range-repartition by id (contiguous id ranges map to increasing
+       partition ids — RangePartitioner's contract);
+    2. per-partition totals: one map-side-combined agg, ≤ #partitions
+       rows, cumulated into per-partition EXCLUSIVE offsets on the
+       driver (bounded collect, same tier as centroid sets);
+    3. within-partition running sum via a window PARTITIONED BY
+       spark_partition_id() (parallel — Spark re-clusters by pid, each
+       group is exactly one range partition) + broadcast the offsets
+       back; global cum_before = offset + running_sum − weight.
+
+    Every arithmetic step is int64-exact (weights cast to bigint; the
+    shard cut is integer division, never double FLOOR — exact past
+    2^53 where a double quotient silently rounds). The input lineage
+    up to the range exchange is persisted for the two passes; callers
+    streaming a huge scan should pass a pre-persisted frame. NULL ids
+    are dropped (an ordered packing is undefined for them — NotNull
+    Check owns flagging); NULL weights count 0. Ids must be UNIQUE:
+    they define the packing order, and duplicate ids would make every
+    duplicate's prefix sum tie-order-dependent (UniquenessCheck owns
+    enforcing that upstream)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    base = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0))
+            .alias("weight"),
+        )
+        .repartitionByRange(n, F.col(id_col))
+        .withColumn("pid", F.spark_partition_id())
+        # CORRECTNESS-critical, not a perf nicety: the totals pass and
+        # the main pass must see the SAME range boundaries. Unpersisted,
+        # each action re-executes the range exchange with a fresh
+        # sampling seed (RangePartitioner seeds off the RDD id), so the
+        # offsets could be keyed to a DIFFERENT pid->range mapping than
+        # the rows they join back to. The cache pins one materialized
+        # (pid, row) assignment; block eviction is safe (recomputes read
+        # the already-written shuffle output, whose boundaries are fixed).
+        .persist()
+    )
+    totals = base.groupBy("pid").agg(F.sum("weight").alias("t")).collect()
+    acc = 0
+    offsets = []
+    for r in sorted(totals, key=lambda r: r["pid"]):
+        offsets.append((r["pid"], acc))
+        acc += r["t"]
+    if not offsets:
+        offsets_df = spark.createDataFrame([], "pid int, off bigint")
+    else:
+        offsets_df = spark.createDataFrame(offsets, "pid int, off bigint")
+    from pyspark.sql import Window
+
+    w_in = Window.partitionBy("pid").orderBy(id_col)
+    running = F.sum("weight").over(w_in)
+    return (
+        base.join(F.broadcast(offsets_df), "pid")
+        .withColumn(
+            "cum_before",
+            (F.col("off") + running - F.col("weight")).cast("bigint"),
+        )
+        .withColumn(
+            "shard",
+            F.expr(f"CAST(cum_before DIV {int(budget)} AS BIGINT)"),
+        )
+        .select(id_col, "weight", "cum_before", "shard")
+    )
+
+
+def stratified_sample_exact(df: DataFrame, k: int, strata_cols: list[str],
+                            id_col: str = "doc_id",
+                            salt: str = "strat") -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by md5-hash
+    order — the exact-allocation eval-set / per-class-balanced sampler
+    (deterministic_sample keeps a FRACTION and is growth-stable; this
+    keeps an exact COUNT per group and trades growth-stability away: a
+    new row with a smaller hash evicts the current k-th. Pick by which
+    contract the downstream consumer needs).
+
+    Selection hash = md5(salt || '_' || id): uniform, engine-identical
+    (hex-string ordering), independent of any data column — so the
+    sample is unbiased w.r.t. every attribute. Ties (md5 collisions —
+    practically never) break by id so the cut is total either way.
+
+    Plan shape at scale: one shuffle on the strata key; the rank<=k
+    filter is pushed INTO the window as a group-limit (Spark's
+    WindowGroupLimit rewrite inserts per-partition top-k heaps BEFORE
+    the exchange, so a hot stratum ships ~k rows per map task, not its
+    whole membership — plan-guarded in tests/test_plans.py). NULL ids
+    are never sampled (their hash is NULL, which sorts but cannot be
+    audited for uniformity); NULL strata values form their own stratum,
+    as GROUP BY would."""
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(f"{salt}_"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(
+        h.asc(), F.col(id_col).asc())
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -532,3 +532,59 @@ def vocabulary(docs: DataFrame, top_v: int = 50) -> DataFrame:
     w = Window.orderBy(F.desc("n_total"), F.asc("token"))
     return cut.withColumn("rank", F.row_number().over(w)) \
         .select("token", "n_total", "n_docs", "rank")
+
+
+# Ordered (category, pattern) pairs — order is the REDACTION order, so it
+# is part of the cross-engine contract. Patterns are restricted to the
+# syntax subset that Java regex (Spark executors) and RE2 (the DuckDB
+# oracle, Go/Rust scanners) compile AND match identically: character
+# classes, bounded repetition, \b/\d — no backreferences, no lookaround,
+# no possessive/lazy quantifiers (Java-only or behavior-divergent).
+PII_PATTERNS: tuple = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", redact: bool = True) -> DataFrame:
+    """(id, n_email, n_phone, n_ssn, n_ipv4, n_pii[, redacted]): per-
+    document PII hit counts per category plus (``redact=True``) a copy
+    with every hit replaced by its ``[CATEGORY]`` tag — the
+    scrub-before-training pass every web-scale corpus needs (emails,
+    phone/SSN shapes, bare IPv4s are the classic regex-detectable tier;
+    NER-based detection is a model kernel, out of scope here).
+
+    Engine shape: pure map-only codegen — ``regexp_count`` per category
+    plus chained ``regexp_replace`` for the redacted copy; no shuffle,
+    no Python, bytes scanned once per pattern within the same stage.
+    Scales linearly like every other map-only text op here.
+
+    Cross-engine determinism: patterns are the Java∩RE2 subset (see
+    ``PII_PATTERNS``), counts are integers, and redaction applies the
+    patterns in tuple order on both engines — overlapping candidates
+    (an SSN inside a longer digit run) resolve identically because
+    earlier categories consume their text before later ones match.
+    NULL text yields zero counts and NULL redacted (flagging NULLs is
+    NotNullCheck's job, not a PII scanner's)."""
+    counts = [
+        F.coalesce(
+            F.regexp_count(F.col(text_col), F.lit(pat)), F.lit(0)
+        ).cast("bigint").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    cols = [F.col(id_col)] + counts
+    out = docs.select(*cols, F.col(text_col))
+    total = None
+    for name, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    out = out.withColumn("n_pii", total.cast("bigint"))
+    if redact:
+        red = F.col(text_col)
+        for name, pat in PII_PATTERNS:
+            red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+        out = out.withColumn("redacted", red)
+    return out.drop(text_col)
