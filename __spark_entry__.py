@@ -2864,6 +2864,41 @@ def o_text_pii_scan() -> str:
     """
 
 
+def q_source_token_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-source token distribution shift (functions/text.py
+    source_token_shift): the 25 tokens whose corpus share moved most
+    between src0 and src1 — the per-token decomposition of total
+    variation distance, ranked by its exact INTEGER numerator
+    |n_a·N_b − n_b·N_a| (no ln/log: KL's libm terms carry no
+    cross-engine bit guarantee; this form reproduces bit-for-bit)."""
+    from anomalydetection_spark.functions.text import source_token_shift
+
+    return source_token_shift(_td(spark, sf_dir), "src0", "src1", k=25)
+
+
+def o_source_token_shift() -> str:
+    return """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE source IN ('src0', 'src1') AND text IS NOT NULL
+    ), per AS (
+      SELECT token,
+             CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM toks WHERE token <> '' GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+      FROM per
+    )
+    SELECT token, n_a, n_b,
+           CAST(abs(n_a * tb - n_b * ta) AS BIGINT) AS shift_num,
+           CAST((n_a * 1000000) // ta AS BIGINT) AS share_a_ppm,
+           CAST((n_b * 1000000) // tb AS BIGINT) AS share_b_ppm
+    FROM per, tot
+    ORDER BY shift_num DESC, token ASC LIMIT 25
+    """
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k-per-stratum eval-set sampler (functions/sampling.py
     stratified_sample_exact): 7 docs per language, selected by
@@ -2954,12 +2989,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #        in-window ivf_pq_topk/ivf_pq_pruned pair), and
     #        text_token_stats (green r01+r02+r03; covered in-window by
     #        text_gopher_quality / text_quality_buckets / text_bpe_tokens)
+    #        and window_lead_lag_delta (green r01+r02+r03; window family
+    #        covered by window_topk_orders / window_group_share /
+    #        window_presence_gate in-window)
     #   rows-only by documented design: rec_analysis_flags, ts_band_flags
     return {
         # -- new this round + never driver-checked lead the window --
         "text_pii_scan": q_text_pii_scan,
         "corpus_pack_shards": q_corpus_pack_shards,
         "stratified_sample": q_stratified_sample,
+        "source_token_shift": q_source_token_shift,
         "audio_wav_features": q_audio_wav_features,
         "pq_train": q_pq_train,
         "ivf_pq_pruned": q_ivf_pq_pruned,
@@ -2987,7 +3026,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_pricing_summary": q_groupby_pricing_summary,
         "window_topk_orders": q_window_topk_orders,
         "window_group_share": q_window_group_share,
-        "window_lead_lag_delta": q_window_lead_lag_delta,
         "derived_filters": q_derived_filters,
         "mahalanobis_flags": q_mahalanobis_flags,
         "drift_psi": q_drift_psi,
@@ -3012,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_token_stats": q_text_token_stats,
+        "window_lead_lag_delta": q_window_lead_lag_delta,
         # Rotated out this round (driver-green r03, most also r01+r02):
         "pivot_status_matrix": q_pivot_status_matrix,
         "unpivot_measures": q_unpivot_measures,
@@ -3042,6 +3081,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scan": o_text_pii_scan(),
         "corpus_pack_shards": o_corpus_pack_shards(),
         "stratified_sample": o_stratified_sample(),
+        "source_token_shift": o_source_token_shift(),
         "text_bpe_tokens": o_text_bpe_tokens(),
         "scaffold_join": o_scaffold_join(),
         "window_presence_gate": o_window_presence_gate(),

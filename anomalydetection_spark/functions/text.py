@@ -588,3 +588,63 @@ def pii_scan(docs: DataFrame, text_col: str = "text",
             red = F.regexp_replace(red, pat, f"[{name.upper()}]")
         out = out.withColumn("redacted", red)
     return out.drop(text_col)
+
+
+def source_token_shift(docs: DataFrame, source_a: str, source_b: str,
+                       k: int = 25,
+                       source_col: str = "source") -> DataFrame:
+    """(token, n_a, n_b, shift_num, share_a_ppm, share_b_ppm): the ``k``
+    tokens whose corpus share moved most between two sources/snapshots —
+    the distribution-shift audit run between crawl dumps (which terms
+    exploded, which vanished) and the per-token decomposition of total
+    variation distance: TV = Σ|p−q|/2 and this op ranks the |p−q| terms.
+
+    Everything is INTEGER arithmetic by construction — the parity-proof
+    form of a drift statistic. |p − q| = |n_a/N_a − n_b/N_b| is ranked
+    by its exact integer numerator |n_a·N_b − n_b·N_a| (denominator
+    N_a·N_b is shared by every token, so the ranking is identical);
+    displayed shares are exact integer-division ppm. No ln/log anywhere:
+    KL's log terms are libm calls with no cross-engine bit guarantee,
+    while this ranking reproduces bit-for-bit on any engine.
+
+    Scale shape: one (source IN (a,b)) scan-predicate → one token-keyed
+    aggregation (map-side combined conditional sums; the filter prunes
+    every other source at the scan) → a 1-row totals agg broadcast back
+    → sort+limit (TakeOrderedAndProject per-partition heaps). The
+    int64 numerator is safe to ~10^9 token count × 10^9 corpus total;
+    past that cast the products to decimal(38,0) before the abs.
+    Deterministic cut: ties break token-ASC."""
+    toks = (
+        docs.filter(F.col(source_col).isin(source_a, source_b))
+        .select(
+            source_col,
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    per = toks.groupBy("token").agg(
+        F.sum(F.when(F.col(source_col) == source_a, 1).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col(source_col) == source_b, 1).otherwise(0))
+        .cast("bigint").alias("n_b"),
+    )
+    totals = per.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "shift_num",
+            F.abs(F.col("n_a") * F.col("tb") - F.col("n_b") * F.col("ta"))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "share_a_ppm", F.expr("CAST((n_a * 1000000) DIV ta AS BIGINT)"))
+        .withColumn(
+            "share_b_ppm", F.expr("CAST((n_b * 1000000) DIV tb AS BIGINT)"))
+        .orderBy(F.desc("shift_num"), F.asc("token"))
+        .limit(k)
+        .select("token", "n_a", "n_b", "shift_num",
+                "share_a_ppm", "share_b_ppm")
+    )

@@ -151,3 +151,19 @@ def test_stratified_sample_validates_k(spark):
         F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
     with pytest.raises(ValueError):
         stratified_sample_exact(df, 0, ["lang"])
+
+
+# -------------------------------------------------------- source shift
+
+def test_source_token_shift_integer_exact(spark):
+    from anomalydetection_spark.functions.text import source_token_shift
+    docs = spark.createDataFrame(
+        [(0, "a a b", "X"), (1, "a b b b", "Y"), (2, "z z z z", "IGNORED")],
+        "doc_id long, text string, source string")
+    rows = source_token_shift(docs, "X", "Y", k=10).collect()
+    # N_a=3, N_b=4; a: |2*4-1*3|=5, b: |1*4-3*3|=5 -> tie breaks token-ASC
+    assert [(r["token"], r["n_a"], r["n_b"], r["shift_num"],
+             r["share_a_ppm"], r["share_b_ppm"]) for r in rows] == [
+        ("a", 2, 1, 5, 666666, 250000),
+        ("b", 1, 3, 5, 333333, 750000),
+    ]
