@@ -167,3 +167,15 @@ def test_source_token_shift_integer_exact(spark):
         ("a", 2, 1, 5, 666666, 250000),
         ("b", 1, 3, 5, 333333, 750000),
     ]
+
+
+def test_packed_shards_window_is_partitioned(spark):
+    # the running sum must be computed per range-partition (parallel),
+    # never as a global no-PARTITION-BY window (single task at any
+    # cluster size)
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("n_chars"))
+    plan = packed_shards(df, budget=10)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(pid" in plan
+    assert "windowspecdefinition(doc_id" not in plan
