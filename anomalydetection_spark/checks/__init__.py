@@ -4,6 +4,7 @@ from anomalydetection_spark.checks.row_constraints import (
     NotNullCheck,
     InSetCheck,
     NotInSetCheck,
+    PiiCheck,
     RlikeCheck,
     RangeCheck,
     RowCountCheck,
@@ -23,6 +24,7 @@ __all__ = [
     "NotNullCheck",
     "InSetCheck",
     "NotInSetCheck",
+    "PiiCheck",
     "RlikeCheck",
     "RangeCheck",
     "RowCountCheck",

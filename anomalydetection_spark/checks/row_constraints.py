@@ -213,3 +213,36 @@ class RangeCheck(PredicateCheck):
             keys=keys,
             violation=violation,
         )
+
+
+class PiiCheck(PredicateCheck):
+    """Rows whose ``column`` carries regex-detectable PII (email /
+    phone / SSN / IPv4 by default — ``functions.text.PII_PATTERNS``,
+    the Java∩RE2 subset) are violations: the scrub-before-training gate
+    as a suite check over the caption/text column.
+
+    The violation COUNT rides the fused aggregation as ONE ``rlike`` on
+    the combined alternation — a single regex pass per row, not one per
+    category; run ``functions.text.pii_scan`` on the violation rows when
+    the per-category breakdown or the redacted copy is needed for
+    remediation. NULL text is NOT a PII violation (NotNullCheck owns
+    NULLs), mirroring pii_scan's zero-counts-for-NULL rule."""
+
+    def __init__(self, column: str, patterns=None,
+                 max_violation_rate: float = 0.0, keys=None):
+        from anomalydetection_spark.functions.text import PII_PATTERNS
+
+        pats = list(patterns or PII_PATTERNS)
+        combined = "|".join(f"({p})" for _, p in pats)
+
+        def pred():
+            c = F.col(column)
+            return c.isNull() | ~c.rlike(combined)
+
+        super().__init__(
+            name=f"pii:{column}",
+            predicate=pred,
+            column=column,
+            max_violation_rate=max_violation_rate,
+            keys=keys,
+        )

@@ -179,3 +179,34 @@ def test_packed_shards_window_is_partitioned(spark):
         .queryExecution().executedPlan().toString()
     assert "windowspecdefinition(pid" in plan
     assert "windowspecdefinition(doc_id" not in plan
+
+
+# --------------------------------------------------------- PiiCheck (suite)
+
+def test_pii_check_in_suite(spark):
+    from anomalydetection_spark import ValidationSuite
+    from anomalydetection_spark.checks import PiiCheck
+
+    rows = [("img_0", "a scenic lake at dawn"),
+            ("img_1", "contact bob@example.com for the original"),
+            ("img_2", "call 555-867-5309 to license"),
+            ("img_3", None),                           # NULL is NOT pii
+            ("img_4", "plain caption")]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    res = ValidationSuite(
+        [PiiCheck("caption", keys=["image_id"])], "images").run(df)
+    v = {r["image_id"] for r in res.violations.select("image_id").collect()}
+    assert v == {"img_1", "img_2"}
+    row = res.verdicts.filter("metric = 'violation_rate'").first()
+    assert not row["passed"] and abs(row["value"] - 2 / 5) < 1e-12
+
+
+def test_pii_scan_is_map_only(spark):
+    # the scrub pass must stay a single scan-side projection: no
+    # Exchange anywhere (the violation count in PiiCheck then rides the
+    # suite's fused aggregation for free)
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"))
+    plan = pii_scan(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
