@@ -104,49 +104,61 @@ def packed_shards(df: DataFrame, budget: int,
     ONE task — the classic global-window scale-killer. This is the
     two-pass distributed prefix sum instead:
 
-    1. range-repartition by id (contiguous id ranges map to increasing
-       partition ids — RangePartitioner's contract);
-    2. per-partition totals: one map-side-combined agg, ≤ #partitions
-       rows, cumulated into per-partition EXCLUSIVE offsets on the
-       driver (bounded collect, same tier as centroid sets);
-    3. within-partition running sum via a window PARTITIONED BY
-       spark_partition_id() (parallel — Spark re-clusters by pid, each
-       group is exactly one range partition) + broadcast the offsets
-       back; global cum_before = offset + running_sum − weight.
+    1. range BOUNDARIES of the id domain from one approx-quantile pass,
+       collected and baked into the plan as LITERALS; ``pid`` = count of
+       boundaries below the row's id — a pure function of (id, literals),
+       so every execution of any derived plan assigns the same pid
+       (repartitionByRange + spark_partition_id would NOT give that:
+       RangePartitioner re-samples per execution, so the offsets could
+       be keyed to a different pid→range mapping than the rows they
+       join back to unless the frame were pinned in cache forever);
+    2. per-pid totals: one map-side-combined agg, ≤ #partitions rows,
+       cumulated into per-pid EXCLUSIVE offsets on the driver (bounded
+       collect, same tier as centroid sets), broadcast back as literal
+       data;
+    3. within-pid running sum via a window PARTITIONED BY pid
+       (parallel — one shuffle clusters each contiguous id range);
+       global cum_before = offset + running_sum − weight.
 
     Every arithmetic step is int64-exact (weights cast to bigint; the
     shard cut is integer division, never double FLOOR — exact past
-    2^53 where a double quotient silently rounds). The input lineage
-    up to the range exchange is persisted for the two passes; callers
-    streaming a huge scan should pass a pre-persisted frame. NULL ids
-    are dropped (an ordered packing is undefined for them — NotNull
+    2^53 where a double quotient silently rounds). Boundary skew only
+    affects load balance, never values. The input is scanned twice
+    (quantiles+totals, then the window pass) — persist upstream if the
+    lineage is expensive; correctness never depends on caching. NULL
+    ids are dropped (an ordered packing is undefined for them — NotNull
     Check owns flagging); NULL weights count 0. Ids must be UNIQUE:
     they define the packing order, and duplicate ids would make every
     duplicate's prefix sum tie-order-dependent (UniquenessCheck owns
     enforcing that upstream)."""
     if budget <= 0:
         raise ValueError(f"budget must be positive: {budget}")
+    if partitions is not None and partitions <= 0:
+        raise ValueError(f"partitions must be positive: {partitions}")
     spark = df.sparkSession
-    n = partitions or spark.sparkContext.defaultParallelism
-    base = (
-        df.filter(F.col(id_col).isNotNull())
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0))
-            .alias("weight"),
-        )
-        .repartitionByRange(n, F.col(id_col))
-        .withColumn("pid", F.spark_partition_id())
-        # CORRECTNESS-critical, not a perf nicety: the totals pass and
-        # the main pass must see the SAME range boundaries. Unpersisted,
-        # each action re-executes the range exchange with a fresh
-        # sampling seed (RangePartitioner seeds off the RDD id), so the
-        # offsets could be keyed to a DIFFERENT pid->range mapping than
-        # the rows they join back to. The cache pins one materialized
-        # (pid, row) assignment; block eviction is safe (recomputes read
-        # the already-written shuffle output, whose boundaries are fixed).
-        .persist()
+    n = partitions if partitions is not None else \
+        spark.sparkContext.defaultParallelism
+    base = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0))
+        .alias("weight"),
     )
+    if n > 1:
+        probs = [i / n for i in range(1, n)]
+        bounds_row = base.agg(
+            F.percentile_approx(id_col, probs, 10_000).alias("b")).first()
+        bounds = sorted(set(bounds_row["b"] or []))
+    else:
+        bounds = []
+    if bounds:
+        # pid = #boundaries strictly below id — monotone in id, so pid
+        # ranges are contiguous; a literal-array HOF, O(n) comparisons
+        # per row (n = target parallelism, hundreds at most)
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: b < F.col(id_col)))
+    else:
+        pid = F.lit(0)
+    base = base.withColumn("pid", pid.cast("int"))
     totals = base.groupBy("pid").agg(F.sum("weight").alias("t")).collect()
     acc = 0
     offsets = []
@@ -200,6 +212,12 @@ def stratified_sample_exact(df: DataFrame, k: int, strata_cols: list[str],
     as GROUP BY would."""
     if k <= 0:
         raise ValueError(f"k must be positive: {k}")
+    if not strata_cols:
+        # Window.partitionBy() with no columns is the global single-task
+        # window — refuse instead of silently de-parallelizing
+        raise ValueError("strata_cols must be non-empty (for a global "
+                         "top-k use orderBy+limit, which Spark executes "
+                         "as per-partition heaps)")
     from pyspark.sql import Window
 
     h = F.md5(F.concat(F.lit(f"{salt}_"), F.col(id_col).cast("string")))

@@ -210,3 +210,31 @@ def test_pii_scan_is_map_only(spark):
         F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"))
     plan = pii_scan(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_packed_shards_stable_across_reexecution(spark):
+    # pid assignment is a pure function of (id, literal boundaries), so
+    # a returned frame re-executed later — cache dropped, different
+    # cluster state — yields identical values (the range-partitioner
+    # form would re-sample boundaries per execution)
+    df = spark.range(500).select(
+        (F.col("id") * 7 % 501).alias("doc_id"),   # gcd(7,501)=1: unique ids
+        (F.col("id") % 17 + 1).alias("n_chars"))
+    out = packed_shards(df, budget=100, partitions=8)
+    first = sorted(map(tuple, out.collect()))
+    spark.catalog.clearCache()
+    second = sorted(map(tuple, out.collect()))   # full re-execution
+    assert first == second
+
+
+def test_sampling_input_validation(spark):
+    from anomalydetection_spark.functions.sampling import (
+        stratified_sample_exact,
+    )
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("n_chars"),
+        F.lit("en").alias("lang"))
+    with pytest.raises(ValueError):
+        packed_shards(df, budget=10, partitions=0)
+    with pytest.raises(ValueError):
+        stratified_sample_exact(df, 5, [])
