@@ -116,7 +116,13 @@ def input_fingerprint(spark: SparkSession, path: str) -> str:
             "to pin an empty digest (it would match every other empty input)"
         )
     digest = hashlib.sha256("\n".join(sorted(entries)).encode()).hexdigest()
-    return f"parquet:{digest[:16]}"
+    # Versioned format: v2 = relative paths + MILLISECOND mtimes. The
+    # prefix makes a format bump distinguishable from real data drift —
+    # a ledger committed under the unversioned second-granularity format
+    # ("parquet:<digest>") mismatches v2 on unchanged data, and the
+    # resume error below names the migration instead of implying the
+    # input changed.
+    return f"parquet:v2:{digest[:16]}"
 
 
 @dataclass
@@ -217,11 +223,22 @@ class CheckpointedRunner:
             # bucket=0003 under pmod(hash, 8) — stale, re-run
             return None
         if rec.get("snapshot") != snapshot and not self.allow_snapshot_change:
+            old = rec.get("snapshot") or ""
+            fmt_note = ""
+            if old.startswith("parquet:") and not old.startswith("parquet:v2:"):
+                fmt_note = (
+                    " NOTE: the committed snapshot uses the pre-v2 "
+                    "fingerprint format (second-granularity mtimes); the "
+                    "v2 format (ms mtimes) changes every fingerprint once "
+                    "even on unchanged data — if the input is known "
+                    "unchanged, this is the one-time format migration, "
+                    "not data drift."
+                )
             raise RuntimeError(
                 f"unit {unit!r} was committed against snapshot "
-                f"{rec.get('snapshot')!r} but the input is now {snapshot!r}; "
+                f"{old!r} but the input is now {snapshot!r}; "
                 "pass allow_snapshot_change=True to redo against the new "
-                "snapshot (stale units are re-run, not mixed)"
+                "snapshot (stale units are re-run, not mixed)." + fmt_note
             )
         if rec.get("snapshot") != snapshot:
             return None  # stale → re-run
@@ -245,34 +262,55 @@ class CheckpointedRunner:
                .replace(":", "_").replace("/", "_"))
         root = os.path.join(self.out_dir, "_staging")
         staged = os.path.join(root, tag)
+        # Liveness marker FIRST, as a SIBLING of the tag dir
+        # (root/<tag>._IN_USE): it must exist before the staged write
+        # starts — during a fresh write the tag dir has no _SUCCESS yet,
+        # and a concurrent runner sharing out_dir with a different
+        # snapshot/bucket config would otherwise GC the in-progress copy
+        # mid-write (racing Spark's commit can leave a dir with _SUCCESS
+        # but missing part files, which later runs would silently reuse).
+        # Sibling placement also keeps it out of write.mode('overwrite')'s
+        # delete of the tag dir itself. Held for the duration of run(),
+        # removed at run end; the TTL reclaims markers leaked by crashes.
+        os.makedirs(root, exist_ok=True)
+        marker = os.path.join(root, f"{tag}._IN_USE")
+        with open(marker, "w") as fh:
+            fh.write("")
+        self._staging_marker = marker
         if not os.path.exists(os.path.join(staged, "_SUCCESS")):
             # GC stale staging copies before writing a new one: a tag for
             # a different snapshot or bucket config can never be resumed
             # against by THIS runner (the ledger's unit_scheme/snapshot
             # checks reject it), and each copy is input-sized — without
             # this, every config change would leave a full copy of the
-            # table behind. Deletion is scoped to tags whose _IN_USE
-            # marker is missing or older than staging_gc_ttl_sec: a
-            # concurrent runner sharing out_dir with a different
-            # snapshot/bucket config refreshes its marker each run, so
-            # its live copy is never rmtree'd mid-scan.
-            if os.path.isdir(root):
-                import shutil
-                import time
+            # table behind. Deletion is scoped to tags whose sibling
+            # _IN_USE marker is missing or older than staging_gc_ttl_sec:
+            # a concurrent runner refreshes its marker BEFORE it starts
+            # writing, so its copy is protected for its whole lifetime.
+            import shutil
+            import time
 
-                now = time.time()
-                for old in os.listdir(root):
-                    if old == tag:
-                        continue
-                    marker = os.path.join(root, old, "_IN_USE")
+            now = time.time()
+            for old in os.listdir(root):
+                if old == tag or old == f"{tag}._IN_USE":
+                    continue
+                if old.endswith("._IN_USE"):
+                    # orphaned marker whose tag dir is gone → reclaim
+                    # by the same TTL rule below (handled via its dir)
+                    continue
+                old_marker = os.path.join(root, f"{old}._IN_USE")
+                try:
+                    fresh = (now - os.path.getmtime(old_marker)
+                             < self.staging_gc_ttl_sec)
+                except OSError:
+                    fresh = False
+                if not fresh:
+                    shutil.rmtree(os.path.join(root, old),
+                                  ignore_errors=True)
                     try:
-                        fresh = (now - os.path.getmtime(marker)
-                                 < self.staging_gc_ttl_sec)
+                        os.remove(old_marker)
                     except OSError:
-                        fresh = False
-                    if not fresh:
-                        shutil.rmtree(os.path.join(root, old),
-                                      ignore_errors=True)
+                        pass
             b = F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.n_buckets))
             (
                 df.withColumn("__bucket", b)
@@ -280,14 +318,6 @@ class CheckpointedRunner:
                 .partitionBy("__bucket")
                 .parquet(staged)
             )
-        # liveness marker (fresh write OR reuse): held for the duration
-        # of run() so a concurrent runner's GC pass leaves this copy
-        # alone, removed at run end so sequential config changes still
-        # reclaim immediately; the TTL reclaims markers leaked by crashes
-        marker = os.path.join(staged, "_IN_USE")
-        with open(marker, "w") as fh:
-            fh.write("")
-        self._staging_marker = marker
         sdf = spark.read.parquet(staged)
         return [
             (

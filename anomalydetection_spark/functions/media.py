@@ -76,8 +76,17 @@ def _decode_audio_impl(data: bytes, codec: str) -> np.ndarray:
     """Default decoder: REAL for PCM WAV (stdlib parser — no external
     codec needed), normalized to float32 in [−1, 1] and averaged to
     mono. Compressed formats (mp3/opus/flac/...) still need an injected
-    decoder (soundfile/librosa in a real deployment)."""
-    if (codec or "").lower() in _WAV_CODECS or data[:4] == b"RIFF":
+    decoder (soundfile/librosa in a real deployment).
+
+    The RIFF magic-byte sniff applies ONLY when the codec tag is empty
+    or unknown (ADVICE r04): an explicit non-WAV codec like 'mp3' keeps
+    the loud NotImplementedError even if the payload happens to be a
+    RIFF container (WebP/AVI are RIFF too) — feeding it to the wave
+    parser would turn an obvious misconfiguration into a quiet
+    decode_ok=False, or a silent decode for RIFF-wrapped PCM
+    misdeclared as compressed."""
+    tag = (codec or "").strip().lower()
+    if tag in _WAV_CODECS or (not tag and data[:4] == b"RIFF"):
         frames, _rate, width = _decode_wav_int(data)
         full = 1 << (8 * width - 1)
         return (frames.mean(axis=1) / float(full)).astype(np.float32)

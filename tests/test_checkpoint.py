@@ -250,10 +250,11 @@ def test_sink_violations_carry_severity_column(spark, image_table, tmp_path):
 
 def test_staging_gc_spares_concurrently_live_tags(spark, image_table, tmp_path):
     """GC of stale staging copies is scoped by the _IN_USE liveness
-    marker (ADVICE r03): a sibling tag whose marker is fresh belongs to
-    a concurrent runner sharing out_dir and must survive a config-change
-    restage; once its marker ages past staging_gc_ttl_sec it is
-    reclaimed."""
+    marker (ADVICE r03/r04): the marker is a SIBLING file
+    (root/<tag>._IN_USE) touched before the staged write begins, so a
+    concurrent runner's copy is protected from the moment its write
+    starts (not just after _SUCCESS lands); once the marker ages past
+    staging_gc_ttl_sec the copy is reclaimed."""
     df = spark.read.parquet(image_table)
     out = str(tmp_path / "staged")
     CheckpointedRunner(
@@ -261,17 +262,22 @@ def test_staging_gc_spares_concurrently_live_tags(spark, image_table, tmp_path):
     ).run(df, input_path=image_table)
     root = os.path.join(out, "_staging")
     (n4_tag,) = os.listdir(root)
-    # simulate a concurrent runner mid-run on the n4 copy: marker present
-    with open(os.path.join(root, n4_tag, "_IN_USE"), "w"):
+    # simulate a concurrent runner mid-run on the n4 copy: fresh sibling
+    # marker present (as _staged_units writes before its own write/GC)
+    with open(os.path.join(root, f"{n4_tag}._IN_USE"), "w"):
         pass
     CheckpointedRunner(
         _suite(), out, bucket_key="image_id", n_buckets=8, stage_buckets=True
     ).run(df, input_path=image_table)
     tags = set(os.listdir(root))
-    assert n4_tag in tags and any("n8" in t for t in tags)  # both live
+    assert n4_tag in tags and any(
+        "n8" in t and not t.endswith("._IN_USE") for t in tags
+    )  # both live
     # the n8 runner released its own marker at run end
-    n8_tag = next(t for t in tags if "n8" in t)
-    assert not os.path.exists(os.path.join(root, n8_tag, "_IN_USE"))
+    n8_tag = next(
+        t for t in tags if "n8" in t and not t.endswith("._IN_USE")
+    )
+    assert not os.path.exists(os.path.join(root, f"{n8_tag}._IN_USE"))
     # an aged-out marker no longer protects the copy
     r = CheckpointedRunner(
         _suite(), out, bucket_key="image_id", n_buckets=6, stage_buckets=True,
@@ -280,6 +286,33 @@ def test_staging_gc_spares_concurrently_live_tags(spark, image_table, tmp_path):
     assert sum(u.rows for u in r.units) == 2000
     tags = os.listdir(root)
     assert len(tags) == 1 and "n6" in tags[0]
+
+
+def test_staging_gc_spares_in_progress_write_without_success(
+    spark, image_table, tmp_path
+):
+    """ADVICE r04 (medium): a tag dir mid-write has NO _SUCCESS yet; only
+    its sibling _IN_USE marker (written before the write starts) protects
+    it. A concurrent restage must leave such a copy alone — rmtree'ing a
+    racing write can leave _SUCCESS with missing part files that later
+    runs silently reuse."""
+    df = spark.read.parquet(image_table)
+    out = str(tmp_path / "staged")
+    root = os.path.join(out, "_staging")
+    os.makedirs(root)
+    # fabricate an in-progress foreign write: partial data, no _SUCCESS,
+    # fresh sibling marker (exactly what _staged_units leaves mid-write)
+    wip = "parquet_v2_feedface__image_id__n16"
+    os.makedirs(os.path.join(root, wip))
+    with open(os.path.join(root, wip, "part-00000.parquet"), "w") as fh:
+        fh.write("partial")
+    with open(os.path.join(root, f"{wip}._IN_USE"), "w"):
+        pass
+    CheckpointedRunner(
+        _suite(), out, bucket_key="image_id", n_buckets=4, stage_buckets=True
+    ).run(df, input_path=image_table)
+    assert os.path.isdir(os.path.join(root, wip))
+    assert os.path.exists(os.path.join(root, wip, "part-00000.parquet"))
 
 
 def test_fingerprint_ms_granularity_same_second_overwrite(tmp_path, spark):

@@ -136,6 +136,31 @@ def test_audio_default_decoder_corrupt_wav_and_compressed_codecs(spark):
         audio_features(mp3).collect()
 
 
+def test_riff_sniff_does_not_override_explicit_codec(spark):
+    """ADVICE r04: a row explicitly tagged codec='mp3' whose payload
+    happens to be a RIFF container (WebP/AVI are RIFF too) must keep the
+    loud NotImplementedError path — sniffing it into the wave parser
+    would turn a misconfiguration into a silent decode or a quiet
+    decode_ok=False. The sniff applies only to an empty/NULL codec tag."""
+    from anomalydetection_spark.functions.media import pcm16_wav_bytes
+    import numpy as np
+
+    riff = pcm16_wav_bytes(np.array([1000, -1000], dtype=np.int16), 8000)
+    schema = ("media_id string, bytes binary, codec string, "
+              "sample_rate int, n_channels int, duration_ms int")
+    mislabeled = spark.createDataFrame(
+        [("m0", riff, "mp3", 8000, 1, 1)], schema
+    )
+    with pytest.raises(Exception, match="(?i)codec 'mp3' unavailable"):
+        audio_features(mislabeled).collect()
+    untagged = spark.createDataFrame(
+        [("u0", riff, None, 8000, 1, 1), ("u1", riff, "", 8000, 1, 1)],
+        schema,
+    )
+    got = {r["media_id"]: r for r in audio_features(untagged).collect()}
+    assert got["u0"]["decode_ok"] and got["u1"]["decode_ok"]
+
+
 def test_frame_sampling_feeds_image_suite(spark):
     from anomalydetection_spark.functions.png import decode_image
 
