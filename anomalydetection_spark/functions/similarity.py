@@ -47,29 +47,50 @@ def _dot(df: DataFrame, group_cols: list[str], a: str, b: str, alias: str) -> Da
     )
 
 
-def _centroid_scores(centroids: DataFrame, dim: int):
-    """Per-corpus-row sorted array of (negcos, cid, cos) centroid scores,
-    computed entirely MAP-SIDE: the C centroids (with their norms, folded
-    by the same Spark expression as every other cosine here) are collected
-    to the driver and inlined as one array-of-structs literal, so scoring
-    n×C pairs is a projection over the corpus scan — no crossJoin row
-    explosion, no Exchange. Sorting ascending by (negcos, cid) == cosine
-    DESC, cid ASC, the same total order the old per-vid ``row_number``
-    window produced by shuffling all n×C rows.
+#: Inlined-literal expression budget: plans inline C·dim centroid floats
+#: (or m·K·d PQ codebook floats) as literals; past ~10^6 the generated
+#: plan/codegen blows up (plan-size wall, interpreted fallback). Above
+#: this budget every entry point automatically routes through the
+#: Arrow-batched broadcast-numpy kernel (same map-only plan shape, same
+#: values bit-for-bit — see _nearest_centroids_arrow). Tests override it
+#: per call to force the kernel at small C and assert parity.
+INLINE_LITERAL_BUDGET = 1_000_000
 
-    Expression budget: the literal carries C·dim float lits. IVF keeps C
-    small by design (≤ a few thousand); for C·dim beyond ~10^6 move the
-    centroid matrix into an Arrow-batched kernel instead — the plan shape
-    (map-only over the corpus) stays the same.
+
+def _collect_centroids(centroids: DataFrame) -> list:
+    """[(cid, [float, ...], nb2)] sorted by cid — ONE tiny collect shared
+    by both scoring paths. Norms are driver-side sequential folds
+    (``_seq_dot``), bit-identical to the JVM ``F.aggregate`` fold the
+    literal expressions use everywhere else (cumsum == sequential fold ==
+    DuckDB list_dot_product)."""
+    rows = centroids.select("vec_id", "embedding").collect()
+    out = []
+    for r in sorted(rows, key=lambda r: r["vec_id"]):
+        e = [float(x) for x in r["embedding"]]
+        out.append((r["vec_id"], e, _seq_dot(e, e)))
+    return out
+
+
+def _centroid_scores(crows: list, dim: int):
+    """Per-corpus-row sorted array of (negcos, cid, cos) centroid scores,
+    computed entirely MAP-SIDE: the C collected centroids are inlined as
+    one array-of-structs literal, so scoring n×C pairs is a projection
+    over the corpus scan — no crossJoin row explosion, no Exchange.
+    Sorting ascending by (negcos, cid) == cosine DESC, cid ASC, the same
+    total order the old per-vid ``row_number`` window produced by
+    shuffling all n×C rows.
+
+    Expression budget: the literal carries C·dim float lits; callers
+    dispatch to the Arrow kernel above INLINE_LITERAL_BUDGET instead of
+    calling this (``nearest_centroids`` is the dispatching entry point).
     """
-    crows = _with_norm(centroids, "b", "eb", "nb2", dim).collect()
     carr = F.array(*[
         F.struct(
-            F.array(*[F.lit(float(x)) for x in r["eb"]]).alias("eb"),
-            F.lit(float(r["nb2"])).alias("nb2"),
-            F.lit(r["b"]).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in eb]).alias("eb"),
+            F.lit(float(nb2)).alias("nb2"),
+            F.lit(cid).alias("cid"),
         )
-        for r in crows
+        for cid, eb, nb2 in crows
     ])
 
     def score(s):
@@ -81,20 +102,136 @@ def _centroid_scores(centroids: DataFrame, dim: int):
     return F.sort_array(F.transform(carr, score))
 
 
-def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+def _round8_spark_repr(x: float) -> float:
+    """Spark's ROUND(double, 8): BigDecimal.valueOf(d) wraps
+    Double.toString — the SHORTEST decimal repr — then setScale(8,
+    HALF_UP). Python's repr() is the same shortest round-trip decimal,
+    so Decimal(repr(x)).quantize(1e-8, HALF_UP) reproduces Spark's
+    rounding bit-for-bit (including the repr-tie cases where the exact
+    binary value would round the other way)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-8"), ROUND_HALF_UP))
+
+
+def _nearest_centroids_arrow(v: DataFrame, crows: list, dim: int,
+                             nprobe: int) -> DataFrame:
+    """Arrow-batched broadcast-numpy centroid scorer — the scale path
+    above INLINE_LITERAL_BUDGET (C·dim beyond ~10^6 literals would blow
+    the plan/codegen; a production IVF with C=4096, dim=768 lands here).
+    Same plan shape as the literal path: map-only over the corpus, the
+    C×dim centroid matrix rides the serialized kernel closure (one copy
+    per executor — broadcast semantics), no Exchange, no row explosion.
+
+    Bit-parity with the literal path (asserted in tests on identical
+    inputs): dots accumulate in array-INDEX order (one vectorized pass
+    per element position == the sequential JVM fold == DuckDB
+    list_dot_product); ranking runs on RAW doubles first — rounding is
+    monotone, so order can only differ inside a ±1e-8 boundary — and
+    only candidates within 2e-8 of the rank-nprobe raw score are
+    exact-rounded (``_round8_spark_repr``) and re-ranked by
+    (cos DESC, cid ASC), reproducing the literal path's
+    round-then-sort total order including tie-breaks."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cids = np.array([c[0] for c in crows], dtype=np.int64)  # cid-ascending
+    Cm = np.array([c[1] for c in crows], dtype=np.float64)
+    nb2 = np.array([c[2] for c in crows], dtype=np.float64)
+    p_eff = min(nprobe, len(crows))
+    out_schema = StructType(
+        list(v.schema.fields)
+        + [StructField("__cid", LongType()), StructField("__cos", DoubleType())]
+    )
+
+    # cap the chunk's score-matrix footprint at ~2^22 doubles (~32 MB):
+    # an Arrow batch of 10k rows × C=4096 would otherwise allocate a
+    # 330 MB accumulator (plus an equal-sized temporary per element
+    # pass) in EVERY concurrent task — the exact OOM shape this kernel
+    # exists to avoid at production C
+    chunk_rows = max(1, (1 << 22) // max(1, len(crows)))
+
+    def kernel(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk_rows):
+                sub = pdf.iloc[lo:lo + chunk_rows]
+                n = len(sub)
+                if n == 0:
+                    continue
+                A = np.vstack(sub["ea"].to_numpy()).astype(np.float64)
+                na2 = sub["na2"].to_numpy(dtype=np.float64)
+                acc = np.zeros((n, len(cids)))
+                for d0 in range(A.shape[1]):  # index order == sequential fold
+                    acc += A[:, d0][:, None] * Cm[:, d0][None, :]
+                cos = acc / np.sqrt(na2[:, None] * nb2[None, :])
+                order = np.argsort(-cos, axis=1, kind="stable")  # ties → cid ASC
+                take_cid = np.empty((n, p_eff), dtype=np.int64)
+                take_cos = np.empty((n, p_eff))
+                for i in range(n):
+                    oi = order[i]
+                    kth = cos[i, oi[p_eff - 1]]
+                    cand = oi[cos[i, oi] >= kth - 2e-8]
+                    ranked = sorted(
+                        (-_round8_spark_repr(float(cos[i, j])), int(cids[j]))
+                        for j in cand
+                    )
+                    for p in range(p_eff):
+                        take_cid[i, p] = ranked[p][1]
+                        take_cos[i, p] = -ranked[p][0]
+                out = sub.iloc[np.repeat(np.arange(n), p_eff)].reset_index(drop=True)
+                out["__cid"] = take_cid.reshape(-1)
+                out["__cos"] = take_cos.reshape(-1)
+                yield out
+
+    return v.mapInPandas(kernel, out_schema)
+
+
+def nearest_centroids(v: DataFrame, centroids: DataFrame, dim: int,
+                      nprobe: int = 1,
+                      literal_budget: int | None = None) -> DataFrame:
+    """Dispatching entry point for map-side centroid assignment: returns
+    ``v``'s columns plus (``__cid`` long, ``__cos`` double) for each of
+    the row's ``nprobe`` best centroids (cosine DESC, cid ASC; one output
+    row per probe). ``v`` must carry ``ea`` (vector) and ``na2`` (norm²,
+    JVM-folded). Selects the inlined-literal projection while C·dim fits
+    INLINE_LITERAL_BUDGET, else the Arrow-batched broadcast-numpy kernel
+    — identical values either way (parity-tested); mirrors the
+    recommender kernel's k>64 codegen fallback."""
+    budget = INLINE_LITERAL_BUDGET if literal_budget is None else literal_budget
+    crows = _collect_centroids(centroids)
+    if len(crows) * dim > budget:
+        return _nearest_centroids_arrow(v, crows, dim, nprobe)
+    if nprobe == 1:
+        best = F.element_at(_centroid_scores(crows, dim), 1)
+        return v.select(
+            "*",
+            best["cid"].cast("long").alias("__cid"),
+            best["cos"].alias("__cos"),
+        )
+    top = F.slice(_centroid_scores(crows, dim), 1, nprobe)
+    return (
+        v.select("*", F.explode(top).alias("__t"))
+        .select(*v.columns, F.col("__t.cid").cast("long").alias("__cid"),
+                F.col("__t.cos").alias("__cos"))
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame,
+               literal_budget: int | None = None) -> DataFrame:
     """(vec_id, bucket, cos_to_centroid): nearest centroid by cosine.
 
     ``centroids``: (vec_id, embedding) — tiny (C rows). Scoring and the
-    top-1 pick are both map-side (see ``_centroid_scores``): the corpus is
-    never shuffled and never row-multiplied ×C. Ties break on the smaller
-    centroid id, matching the oracle's ``ORDER BY cos DESC, cid ASC``."""
+    top-1 pick are both map-side (see ``nearest_centroids``): the corpus
+    is never shuffled and never row-multiplied ×C. Ties break on the
+    smaller centroid id, matching the oracle's ``ORDER BY cos DESC, cid
+    ASC``. Above INLINE_LITERAL_BUDGET the scorer is the Arrow kernel."""
     dim = embedding_dim(emb)
     v = _with_norm(emb, "a", "ea", "na2", dim)
-    best = F.element_at(_centroid_scores(centroids, dim), 1)
-    return v.select(
+    out = nearest_centroids(v, centroids, dim, 1, literal_budget)
+    return out.select(
         F.col("a").alias("vec_id"),
-        best["cid"].alias("bucket"),
-        best["cos"].alias("cos_to_centroid"),
+        F.col("__cid").alias("bucket"),
+        F.col("__cos").alias("cos_to_centroid"),
     )
 
 
@@ -315,19 +452,19 @@ def cosine_near_dup_lsh(emb: DataFrame, spark, threshold: float,
 
 
 def ivf_probe_buckets(emb: DataFrame, centroids: DataFrame,
-                      nprobe: int) -> DataFrame:
+                      nprobe: int,
+                      literal_budget: int | None = None) -> DataFrame:
     """(vec_id, bucket) — each vector's ``nprobe`` nearest centroid
     buckets (probe list). nprobe=1 degenerates to ivf_assign's bucket.
 
-    Map-side like ``ivf_assign``: the sorted score array is sliced to its
-    first ``nprobe`` entries and exploded — a narrow ≤nprobe-row fan-out,
-    not a shuffle of n×C scored pairs."""
+    Map-side like ``ivf_assign``: a narrow ≤nprobe-row fan-out per
+    vector, not a shuffle of n×C scored pairs; Arrow kernel above the
+    literal budget."""
     dim = embedding_dim(emb)
     v = _with_norm(emb, "a", "ea", "na2", dim)
-    top = F.slice(_centroid_scores(centroids, dim), 1, nprobe)
-    return v.select(
-        F.col("a").alias("vec_id"),
-        F.explode(F.transform(top, lambda s: s["cid"])).alias("bucket"),
+    out = nearest_centroids(v, centroids, dim, nprobe, literal_budget)
+    return out.select(
+        F.col("a").alias("vec_id"), F.col("__cid").alias("bucket")
     )
 
 
@@ -403,8 +540,9 @@ def ivf_centroid_update(emb: DataFrame, centroids: DataFrame,
         centroids = centroids.withColumnRenamed("bucket", "vec_id")
     dim = embedding_dim(emb)
     v = _with_norm(emb, "vec_id", "ea", "na2", dim)
-    best = F.element_at(_centroid_scores(centroids, dim), 1)
-    tagged = v.select(best["cid"].alias("bucket"), F.col("ea").alias("emb"))
+    tagged = nearest_centroids(v, centroids, dim, 1).select(
+        F.col("__cid").alias("bucket"), F.col("ea").alias("emb")
+    )
     means = (
         tagged.select("bucket", F.posexplode("emb").alias("pos", "val"))
         .groupBy("bucket", "pos")
@@ -609,8 +747,70 @@ def pq_codebooks(emb: DataFrame, m: int, n_codes: int = 8) -> list:
     ]
 
 
+def _pq_encode_arrow(emb: DataFrame, codebooks: list, m: int,
+                     d: int) -> DataFrame:
+    """Arrow-batched PQ encoder — the scale path above
+    INLINE_LITERAL_BUDGET (m·K·d codebook floats; K=256 production
+    codebooks at dim 768 would inline ~200k lits per subspace × m).
+    Same map-only plan shape and bit-identical output as the literal
+    path (parity-tested): per subspace, xx is the float64 cumsum fold
+    over the subvector slice, xc accumulates in element-index order,
+    d2 = (xx − 2·xc) + cc in the literal expression's association
+    order; the argmin runs on RAW d2 (np.argmin → first index = code
+    ASC on exact ties) and only candidates within 2e-8 of the raw best
+    are exact-rounded (Spark-style shortest-repr HALF_UP) and re-ranked
+    by (d2 ASC, code ASC)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    Cbs = np.array(codebooks, dtype=np.float64)          # [m, K, d]
+    ccs = np.array([[_seq_dot(cv, cv) for cv in codebooks[s]]
+                    for s in range(m)], dtype=np.float64)  # [m, K]
+    K = Cbs.shape[1]
+    out_schema = StructType(
+        list(emb.schema.fields)
+        + [StructField("codes", ArrayType(IntegerType())),
+           StructField("dist2s", ArrayType(DoubleType()))]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            A = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((n, m), dtype=np.int32)
+            d2s = np.empty((n, m))
+            for s in range(m):
+                Xs = A[:, s * d:(s + 1) * d]
+                xx = np.cumsum(Xs * Xs, axis=1)[:, -1]  # == _fold_dot(slice)
+                xc = np.zeros((n, K))
+                for d0 in range(d):  # index order == sequential fold
+                    xc += Xs[:, d0][:, None] * Cbs[s][:, d0][None, :]
+                d2 = (xx[:, None] - 2.0 * xc) + ccs[s][None, :]
+                j0 = np.argmin(d2, axis=1)  # first index = code ASC on ties
+                for i in range(n):
+                    best_raw = d2[i, j0[i]]
+                    cand = np.nonzero(d2[i] <= best_raw + 2e-8)[0]
+                    r8, code = min(
+                        (_round8_spark_repr(float(d2[i, j])), int(j))
+                        for j in cand
+                    )
+                    d2s[i, s] = r8
+                    codes[i, s] = code
+            out = pdf.copy()
+            out["codes"] = list(codes)
+            out["dist2s"] = list(d2s)
+            yield out
+
+    return emb.mapInPandas(kernel, out_schema)
+
+
 def pq_encode(emb: DataFrame, m: int = 8, n_codes: int = 8,
-              codebooks: list | None = None) -> DataFrame:
+              codebooks: list | None = None,
+              literal_budget: int | None = None) -> DataFrame:
     """Product-quantization encoding: (vec_id, codes array<int>,
     dist2s array<double>) — per subspace ``s``, ``codes[s]`` is the
     L2-nearest codebook entry for the vector's ``s``-th subvector and
@@ -627,6 +827,9 @@ def pq_encode(emb: DataFrame, m: int = 8, n_codes: int = 8,
     literals (same expression-budget argument as ``_centroid_scores``);
     per subspace the K distances are a transform over that literal and
     the argmin is ``sort_array(...)[1]`` with code-ascending tie-break.
+    Above INLINE_LITERAL_BUDGET (m·K·d floats) encoding automatically
+    routes through the Arrow-batched kernel (``_pq_encode_arrow``) —
+    identical values, no giant literal in the plan.
     Cross-engine exactness: dist² = ROUND(xx − 2·xc + cc, 8) where xx
     and xc are sequential folds over the subvector slice (bit-identical
     to DuckDB ``list_dot_product`` on the same slice) and cc is the
@@ -642,6 +845,9 @@ def pq_encode(emb: DataFrame, m: int = 8, n_codes: int = 8,
             raise ValueError(f"dim {dim} not divisible by m={m}")
         d = dim // m
         codebooks = pq_codebooks(emb, m, n_codes)
+    budget = INLINE_LITERAL_BUDGET if literal_budget is None else literal_budget
+    if m * len(codebooks[0]) * d > budget:
+        return _pq_encode_arrow(emb, codebooks, m, d)
 
     # slice + per-subspace self-dot projected ONCE (HOF lambda bodies
     # re-evaluate referenced expressions per element; a projected column
@@ -868,8 +1074,9 @@ def write_ivf_layout(emb: DataFrame, centroids: DataFrame, path: str,
         F.col("embedding").alias("ea"),
         _fold_dot(F.col("embedding"), F.col("embedding")).alias("na2"),
     )
-    bucket = F.element_at(_centroid_scores(centroids, dim), 1)["cid"]
-    out = base.select("vec_id", "embedding", bucket.alias("bucket"))
+    out = nearest_centroids(base, centroids, dim, 1).select(
+        "vec_id", "embedding", F.col("__cid").alias("bucket")
+    )
     if m is not None:
         if codebooks is None:
             codebooks = pq_codebooks(emb, m, n_codes)
@@ -937,10 +1144,10 @@ def ivf_pq_topk(emb: DataFrame, query_id: int, k: int = 10,
         F.col("embedding").alias("ea"),
         _fold_dot(F.col("embedding"), F.col("embedding")).alias("na2"),
     )
-    bucket = F.element_at(_centroid_scores(centroids, dim), 1)["cid"]
     pruned = (
-        base.select("vec_id", "embedding", bucket.alias("bucket"))
-        .filter(F.col("bucket").isin(probe))
+        nearest_centroids(base, centroids, dim, 1)
+        .select("vec_id", "embedding", F.col("__cid").alias("bucket"))
+        .filter(F.col("bucket").isin([int(p) for p in probe]))
     )
     enc = pq_encode(pruned, m, n_codes, codebooks)
     score = _adc_score(q, codebooks, m)

@@ -202,6 +202,33 @@ def test_ivf_assignment_is_map_side_no_exchange(spark):
         assert "Window" not in plan
 
 
+def test_arrow_centroid_fallback_plan_is_map_only_no_giant_literal(spark):
+    """VERDICT r04 #1 plan guard: above the literal budget the scorer
+    must be a MapInPandas projection — still Exchange-free, and the
+    C·dim centroid floats ride the kernel closure, NOT the plan (no
+    inlined centroid literal; plan string stays small)."""
+    import pyspark.sql.functions as F2
+
+    from anomalydetection_spark.functions.similarity import (
+        ivf_assign,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.filter(F2.col("vec_id") < 4)
+    plan = plan_of(ivf_assign(emb, centroids, literal_budget=0))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan and "Window" not in plan
+    # the literal plan inlines C*dim floats; the kernel plan must not
+    lit_plan = plan_of(ivf_assign(emb, centroids))
+    assert len(plan) < len(lit_plan) / 4, (len(plan), len(lit_plan))
+
+    enc_plan = plan_of(pq_encode(emb, m=8, n_codes=8, literal_budget=0))
+    assert "MapInPandas" in enc_plan and "Exchange" not in enc_plan
+    lit_enc = plan_of(pq_encode(emb, m=8, n_codes=8))
+    assert len(enc_plan) < len(lit_enc) / 4, (len(enc_plan), len(lit_enc))
+
+
 def test_ivf_layout_probe_scan_prunes_partitions_and_matches_unpruned(spark, tmp_path):
     """VERDICT r03 #2: over a write_ivf_layout-materialized corpus the
     IVF probe filter must be REAL partition pruning — the scan's

@@ -721,3 +721,92 @@ def test_vocabulary_matches_python_and_uses_topk_plan(spark):
     got = [(r["token"], r["n_total"], r["n_docs"], r["rank"])
            for r in out.collect()]
     assert got == [("c", 4, 2, 1), ("b", 3, 2, 2)]
+
+
+def test_arrow_centroid_scorer_bit_parity_with_literal_path(spark):
+    """VERDICT r04 #1: above INLINE_LITERAL_BUDGET (C·dim literals) the
+    centroid scorer must route through the Arrow broadcast-numpy kernel
+    and produce BIT-EQUAL output to the inlined-literal plan — same
+    index-order dots, same ROUND-8 cosine, same (cos DESC, cid ASC)
+    tie-breaks. Forced here with literal_budget=0 on identical inputs
+    (mirrors kernels/recommender.py's k>64 codegen fallback pattern)."""
+    from anomalydetection_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroid_update,
+        ivf_probe_buckets,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+
+    lit = {r["vec_id"]: (r["bucket"], r["cos_to_centroid"])
+           for r in ivf_assign(emb, centroids).collect()}
+    arr = {r["vec_id"]: (r["bucket"], r["cos_to_centroid"])
+           for r in ivf_assign(emb, centroids, literal_budget=0).collect()}
+    assert arr == lit and len(lit) > 0
+
+    for nprobe in (2, 3):
+        plit = {(r["vec_id"], r["bucket"])
+                for r in ivf_probe_buckets(emb, centroids, nprobe).collect()}
+        parr = {(r["vec_id"], r["bucket"])
+                for r in ivf_probe_buckets(emb, centroids, nprobe,
+                                           literal_budget=0).collect()}
+        assert parr == plit and len(plit) > 0
+
+    # one Lloyd step composes the scorer: means must match bit-for-bit
+    import anomalydetection_spark.functions.similarity as sim
+    upd_lit = {(r["bucket"], r["pos"]): (r["mean"], r["n"])
+               for r in ivf_centroid_update(emb, centroids,
+                                            melted=True).collect()}
+    orig = sim.INLINE_LITERAL_BUDGET
+    sim.INLINE_LITERAL_BUDGET = 0
+    try:
+        upd_arr = {(r["bucket"], r["pos"]): (r["mean"], r["n"])
+                   for r in ivf_centroid_update(emb, centroids,
+                                                melted=True).collect()}
+    finally:
+        sim.INLINE_LITERAL_BUDGET = orig
+    assert upd_arr == upd_lit
+
+
+def test_arrow_pq_encoder_bit_parity_with_literal_path(spark):
+    """pq_encode above the m·K·d literal budget routes through
+    _pq_encode_arrow; forced via literal_budget=0 — codes AND rounded
+    dist² bit-equal to the literal plan, including code-ascending
+    tie-breaks on raw-equal distances."""
+    from anomalydetection_spark.functions.similarity import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lit = {r["vec_id"]: (list(r["codes"]), list(r["dist2s"]))
+           for r in pq_encode(emb, m=8, n_codes=8).collect()}
+    arr = {r["vec_id"]: (list(r["codes"]), list(r["dist2s"]))
+           for r in pq_encode(emb, m=8, n_codes=8,
+                              literal_budget=0).collect()}
+    assert arr == lit and len(lit) > 0
+
+
+def test_arrow_scorer_handles_exact_ties_and_round_boundary(spark):
+    """Tie semantics parity on ADVERSARIAL inputs: duplicate centroids
+    (raw-equal cosines → cid ASC must win) and centroids whose cosines
+    differ by <1e-8 (ROUND-8 collapses them — the literal path then
+    tie-breaks on cid, and the kernel's boundary refinement must too)."""
+    from anomalydetection_spark.functions.similarity import ivf_assign
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base]),            # exact duplicate of 0
+        (2, [float(x * 2) for x in base]),        # same direction, scaled
+        (3, [4.0, 3.0, 2.0, 1.0]),
+        (10, [float(x) for x in base]),
+        (11, [1.0, 2.0, 3.0, 4.000001]),          # inside the round window
+        (12, [-1.0, -2.0, -3.0, -4.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding")
+    lit = {r["vec_id"]: (r["bucket"], r["cos_to_centroid"])
+           for r in ivf_assign(emb, centroids).collect()}
+    arr = {r["vec_id"]: (r["bucket"], r["cos_to_centroid"])
+           for r in ivf_assign(emb, centroids, literal_budget=0).collect()}
+    assert arr == lit
+    assert lit[10][0] == 0      # cid ASC among raw-equal 0/1/2
