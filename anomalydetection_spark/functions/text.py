@@ -394,7 +394,9 @@ def benchmark_contamination(corpus: DataFrame, bench: DataFrame,
 
 def chunk_documents(docs: DataFrame, max_tokens: int = 64,
                     stride: int | None = None,
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    tokens_col: str | None = None,
+                    joiner: str = " ") -> DataFrame:
     """(doc_id, chunk_idx, n_tokens, chunk): fixed-size token-window
     chunking with optional overlap — the context-window preparation step
     of a training/RAG pipeline (long documents become max_tokens-sized
@@ -413,13 +415,23 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 64,
     corner that desynchronizes engines). ``stride > max_tokens`` is
     allowed — it SAMPLES disjoint windows, leaving the tokens between
     them in no chunk (deliberate for sketching/sampling; use
-    ``stride <= max_tokens`` for lossless coverage)."""
+    ``stride <= max_tokens`` for lossless coverage).
+
+    ``tokens_col`` names a pre-tokenized ``array<string>`` column
+    (e.g. ``bpe_tokens`` from :func:`bpe_tokens`) to chunk over
+    instead of the whitespace split; the chunk text rejoins with
+    ``joiner`` (use ``""`` for BPE pieces that carry their leading
+    space, the GPT-2 convention)."""
     if stride is None:
         stride = max_tokens
     if stride <= 0 or max_tokens <= 0:
         raise ValueError("max_tokens and stride must be positive")
-    toks = docs.filter(F.col("text").isNotNull()) \
-        .select(id_col, F.split(F.col("text"), " ").alias("__toks"))
+    if tokens_col is not None:
+        toks = docs.filter(F.col(tokens_col).isNotNull()) \
+            .select(id_col, F.col(tokens_col).alias("__toks"))
+    else:
+        toks = docs.filter(F.col("text").isNotNull()) \
+            .select(id_col, F.split(F.col("text"), " ").alias("__toks"))
     starts = F.sequence(
         F.lit(0),
         F.greatest(F.size("__toks") - 1, F.lit(0)),
@@ -440,7 +452,7 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 64,
             id_col,
             "chunk_idx",
             F.size("__c").alias("n_tokens"),
-            F.array_join("__c", " ").alias("chunk"),
+            F.array_join("__c", joiner).alias("chunk"),
         )
     )
 
@@ -500,7 +512,8 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
     )
 
 
-def vocabulary(docs: DataFrame, top_v: int = 50) -> DataFrame:
+def vocabulary(docs: DataFrame, top_v: int = 50,
+               tokens_col: str | None = None) -> DataFrame:
     """(token, n_total, n_docs, rank): the corpus vocabulary cut at the
     ``top_v`` most frequent tokens — the vocab-construction step of
     tokenizer training (and the Zipf-curve input for corpus QA).
@@ -512,10 +525,24 @@ def vocabulary(docs: DataFrame, top_v: int = 50) -> DataFrame:
     executes as TakeOrderedAndProject — per-partition top-V then a
     driver merge of V-row heaps, never a full sort of the vocabulary.
     Rank ties break token-ASC so the cut is total and engine-stable
-    (counts are exact integers — no float comparisons anywhere)."""
+    (counts are exact integers — no float comparisons anywhere).
+
+    ``tokens_col`` names a pre-tokenized ``array<string>`` column
+    (e.g. ``bpe_tokens``) to build the vocabulary over instead of the
+    whitespace split — the BPE-piece frequency table of tokenizer QA."""
+    if tokens_col is not None:
+        exploded = (
+            docs.filter(F.col(tokens_col).isNotNull())
+            .select("doc_id", F.explode(F.col(tokens_col)).alias("token"))
+        )
+    else:
+        exploded = (
+            docs.filter(F.col("text").isNotNull())
+            .select("doc_id",
+                    F.explode(F.split(F.col("text"), " ")).alias("token"))
+        )
     per_doc = (
-        docs.filter(F.col("text").isNotNull())
-        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        exploded
         .filter(F.col("token") != "")
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -647,4 +674,192 @@ def source_token_shift(docs: DataFrame, source_a: str, source_b: str,
         .limit(k)
         .select("token", "n_a", "n_b", "shift_num",
                 "share_a_ppm", "share_b_ppm")
+    )
+
+
+# ------------------------------------------------------------------ BPE apply
+def bpe_tokens(docs: DataFrame, merges: list[tuple[str, str]],
+               id_col: str = "doc_id", text_col: str = "text",
+               pre_split: str = "bpe_ish",
+               vocab: dict[str, int] | None = None,
+               unk_id: int = -1) -> DataFrame:
+    """Greedy BPE encoding from a supplied ordered ``merges`` table
+    (VERDICT r04 #2) — the real-tokenizer token counts that chunking,
+    shard packing (``sampling.packed_shards(weight_col=
+    "n_bpe_tokens")``) and vocabulary stats should budget in, instead
+    of the regex proxy ``bpe_ish_tokens``.
+
+    Algorithm (the published BPE-apply of Sennrich et al. 2016 /
+    GPT-2's ``bpe()``): pre-split the text into words, start each word
+    as its character sequence, and repeatedly merge the adjacent pair
+    with the LOWEST merge rank (all left-to-right non-overlapping
+    occurrences per round) until no pair is in the table. For a
+    well-formed merges table (each side is a base character or the
+    result of an earlier merge — what BPE training always produces)
+    this is equivalent to applying the merges once each in rank order,
+    which is what makes the DuckDB oracle expressible as a chain of
+    boundary-anchored ``replace`` calls.
+
+    Returns ``docs``'s columns plus ``bpe_tokens array<string>`` and
+    ``n_bpe_tokens long`` (plus ``bpe_ids array<int>`` / ``n_unk
+    long`` when ``vocab`` maps tokens to ids; unknown tokens get
+    ``unk_id``). NULL text → empty token list, n = 0.
+
+    Plan shape: MAP-ONLY Arrow-batched ``mapInPandas`` — the merges
+    table (and vocab) ride the kernel closure like the ANN centroid
+    matrix; a per-task word cache collapses the per-word loop to one
+    encode per DISTINCT word (Zipf makes that ~n_tokens/10 at corpus
+    scale). This is inherently a Python kernel; a production deployment
+    swaps the inner ``_word`` for a compiled tokenizer
+    (tokenizers/tiktoken) behind the same column contract.
+
+    ``pre_split``: ``"whitespace"`` (split on single spaces — the
+    oracle-parallel form), ``"bpe_ish"`` (the GPT-2-shaped regex
+    ``BPE_ISH_PATTERN``), or any custom regex for ``re.findall``."""
+    import re
+
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    if pre_split == "whitespace":
+        rx = None
+    else:
+        rx = re.compile(
+            BPE_ISH_PATTERN if pre_split == "bpe_ish" else pre_split)
+    fields = list(docs.schema.fields) + [
+        StructField("bpe_tokens", ArrayType(StringType())),
+        StructField("n_bpe_tokens", LongType()),
+    ]
+    if vocab is not None:
+        fields += [
+            StructField("bpe_ids", ArrayType(IntegerType())),
+            StructField("n_unk", LongType()),
+        ]
+    out_schema = StructType(fields)
+
+    def kernel(batches):
+        cache: dict[str, list[str]] = {}
+
+        def word_tokens(word: str) -> list[str]:
+            got = cache.get(word)
+            if got is not None:
+                return got
+            symbols: tuple = tuple(word)
+            while len(symbols) > 1:
+                best = None
+                for i in range(len(symbols) - 1):
+                    r = ranks.get((symbols[i], symbols[i + 1]))
+                    if r is not None and (best is None or r < best[0]):
+                        best = (r, symbols[i], symbols[i + 1])
+                if best is None:
+                    break
+                _, a, b = best
+                merged = []
+                i = 0
+                while i < len(symbols):
+                    if (i < len(symbols) - 1 and symbols[i] == a
+                            and symbols[i + 1] == b):
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(symbols[i])
+                        i += 1
+                symbols = tuple(merged)
+            out = list(symbols)
+            cache[word] = out
+            return out
+
+        for pdf in batches:
+            toks_col, n_col, ids_col, unk_col = [], [], [], []
+            for text in pdf[text_col]:
+                if text is None or (isinstance(text, float)):
+                    toks: list[str] = []
+                else:
+                    words = (text.split(" ") if rx is None
+                             else rx.findall(text))
+                    toks = []
+                    for w in words:
+                        if w:
+                            toks.extend(word_tokens(w))
+                toks_col.append(toks)
+                n_col.append(len(toks))
+                if vocab is not None:
+                    ids = [vocab.get(t, unk_id) for t in toks]
+                    ids_col.append(ids)
+                    unk_col.append(sum(1 for i in ids if i == unk_id))
+            out = pdf.copy()
+            out["bpe_tokens"] = toks_col
+            out["n_bpe_tokens"] = n_col
+            if vocab is not None:
+                out["bpe_ids"] = ids_col
+                out["n_unk"] = unk_col
+            yield out
+
+    return docs.mapInPandas(kernel, out_schema)
+
+
+def line_dedup(docs: DataFrame, min_docs: int = 2,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Cross-document line deduplication (VERDICT r04 #3) — the C4 /
+    RefinedWeb boilerplate rule: a line whose NORMALIZED form appears in
+    ``min_docs`` or more distinct documents is boilerplate (nav bars,
+    cookie banners, licence footers) and is dropped from every document
+    that carries it.
+
+    Returns (id, n_lines, n_dropped, text_clean): per-document line
+    count, dropped-line count, and the document text reassembled from
+    the surviving lines in their original order ('' when every line
+    dropped). Normalization = trim + collapse internal space runs +
+    lowercase; the cross-document key is the md5 of that form (hashing
+    shrinks the shuffle key to 32 bytes regardless of line length).
+
+    Scale shape: one map-side split/normalize pass; the global line
+    count is ONE (hash)-keyed aggregation over DISTINCT (line, doc)
+    pairs (two-level: map-side distinct partials, then the key-grouped
+    count — never a count-distinct expand); the verdict joins back on
+    the same hash key; reassembly is a per-document sort of surviving
+    (idx, line) structs. Every step is integer/string-exact, so the
+    DuckDB oracle reproduces it bit-for-bit. NULL ids/texts are dropped
+    (a keyed per-document rewrite is undefined for them; NotNullCheck
+    owns flagging)."""
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1: {min_docs}")
+    base = (
+        docs.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+        )
+        .withColumn(
+            "h",
+            F.md5(F.lower(F.trim(F.regexp_replace("line", " +", " ")))),
+        )
+    )
+    counts = (
+        base.select("h", "id").distinct()
+        .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    )
+    joined = base.join(counts, "h")
+    kept = F.when(
+        F.col("nd") < min_docs, F.struct("idx", "line")
+    )  # collect_list skips NULLs -> only survivors collected
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.when(F.col("nd") >= min_docs, 1).otherwise(0)
+            ).cast("bigint").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(kept)), lambda x: x["line"]
+                ),
+                "\n",
+            ).alias("text_clean"),
+        )
+        .withColumnRenamed("id", id_col)
     )
