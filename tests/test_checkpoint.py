@@ -350,3 +350,44 @@ def test_staged_bucket_restages_on_config_change(spark, image_table, tmp_path):
     # resume) is garbage-collected when the new one is staged
     tags = os.listdir(os.path.join(out, "_staging"))
     assert len(tags) == 1 and "n8" in tags[0]
+
+
+def test_scorecard_artifacts_rendered_next_to_sinks(spark, image_table, tmp_path):
+    """VERDICT r04 #7: the runner writes a reviewer-facing scorecard
+    (CSV + HTML) beside the parquet sinks — the (unit × check) failure
+    matrix with a TOTAL row/column, columns ordered by total failures
+    (the reference's column-by-total O6 ordering), covering resumed
+    units too."""
+    import csv
+
+    df = spark.read.parquet(image_table)
+    out = str(tmp_path / "out")
+    runner = CheckpointedRunner(_suite(), out, bucket_key="image_id",
+                                n_buckets=2)
+    runner.run(df, input_path=image_table)
+    for ext in ("csv", "html"):
+        assert os.path.exists(os.path.join(out, f"scorecard.{ext}"))
+    with open(os.path.join(out, "scorecard.csv")) as f:
+        rows = list(csv.reader(f))
+    header, body = rows[0], rows[1:]
+    assert header[0] == "unit" and header[-1] == "TOTAL"
+    assert body[-1][0] == "TOTAL"
+    # column totals ordered non-increasing (column-by-total ordering)
+    totals = [int(x) for x in body[-1][1:-1]]
+    assert totals == sorted(totals, reverse=True)
+    # matrix is consistent: grand total == sum of row totals
+    assert int(body[-1][-1]) == sum(int(r[-1]) for r in body[:-1])
+    # every unit appears as a row
+    unit_rows = {r[0] for r in body[:-1]}
+    assert {"bucket=0000", "bucket=0001"} <= unit_rows
+    html_text = open(os.path.join(out, "scorecard.html")).read()
+    assert "TOTAL" in html_text and "<table>" in html_text
+
+    # a fully-RESUMED run re-renders the same scorecard from the ledger
+    os.remove(os.path.join(out, "scorecard.csv"))
+    r2 = CheckpointedRunner(_suite(), out, bucket_key="image_id",
+                            n_buckets=2).run(df, input_path=image_table)
+    assert r2.resumed == 2
+    with open(os.path.join(out, "scorecard.csv")) as f:
+        rows2 = list(csv.reader(f))
+    assert rows2 == rows

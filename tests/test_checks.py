@@ -387,3 +387,89 @@ def test_sessionize_matches_structured_streaming_session_window(spark):
     )
     sw_sessions = {tuple(sorted(r["ids"])) for r in sw.collect()}
     assert batch_sessions == sw_sessions
+
+
+def _hand_xlsx(path, with_second_sheet=False):
+    """Hand-assembled minimal xlsx (zip of raw XML strings — NOT built
+    by any engine code, so the stdlib parser isn't tested against
+    itself): shared strings incl. a rich-text run, an inline string, a
+    boolean, numerics, a skipped cell and an empty string."""
+    import zipfile
+
+    M = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    R = ('xmlns="http://schemas.openxmlformats.org/package/2006/'
+         'relationships"')
+    O = ('xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+         'relationships"')
+    sheets = '<sheet name="data" sheetId="1" r:id="rId1"/>'
+    rels = ('<Relationship Id="rId1" Type="t" '
+            'Target="worksheets/sheet1.xml"/>')
+    if with_second_sheet:
+        sheets += '<sheet name="extra" sheetId="2" r:id="rId2"/>'
+        rels += ('<Relationship Id="rId2" Type="t" '
+                 'Target="worksheets/sheet2.xml"/>')
+    files = {
+        "xl/workbook.xml":
+            f'<workbook {M} {O}><sheets>{sheets}</sheets></workbook>',
+        "xl/_rels/workbook.xml.rels":
+            f'<Relationships {R}>{rels}</Relationships>',
+        "xl/sharedStrings.xml":
+            f'<sst {M}><si><t>id</t></si><si><t>name</t></si>'
+            f'<si><t>score</t></si><si><r><t>al</t></r><r><t>ice</t></r>'
+            f'</si><si><t>bob</t></si></sst>',
+        "xl/worksheets/sheet1.xml": (
+            f'<worksheet {M}><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+            '<c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c>'
+            '<c r="D1" t="inlineStr"><is><t>ok</t></is></c></row>'
+            '<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>3</v></c>'
+            '<c r="C2"><v>0.5</v></c><c r="D2" t="b"><v>1</v></c></row>'
+            '<row r="3"><c r="A3"><v>2</v></c><c r="B3" t="s"><v>4</v></c>'
+            '<c r="D3" t="b"><v>0</v></c></row>'
+            '<row r="4"><c r="A4"><v>3</v></c>'
+            '<c r="B4" t="inlineStr"><is><t></t></is></c>'
+            '<c r="C4"><v>9</v></c><c r="D4" t="b"><v>1</v></c></row>'
+            '</sheetData></worksheet>'),
+    }
+    if with_second_sheet:
+        files["xl/worksheets/sheet2.xml"] = (
+            f'<worksheet {M}><sheetData>'
+            '<row r="1"><c r="A1" t="inlineStr"><is><t>only</t></is></c>'
+            '</row></sheetData></worksheet>')
+    with zipfile.ZipFile(path, "w") as z:
+        for name, content in files.items():
+            z.writestr(name, content)
+
+
+def test_xlsx_source_tier(spark, tmp_path):
+    """S4 xlsx tier (VERDICT r04 missing #2): stdlib parse on the
+    driver, all-strings contract, S5 empty->NULL normalization, S6 row
+    limit, sheet selection, and the loud size bound."""
+    from anomalydetection_spark.sources.tables import load_xlsx
+
+    p = tmp_path / "book.xlsx"
+    _hand_xlsx(str(p), with_second_sheet=True)
+    df = load_xlsx(spark, str(p), normalize_empty=["name"])
+    assert df.columns == ["id", "name", "score", "ok"]
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["1"]["name"] == "alice" and rows["1"]["score"] == "0.5"
+    assert rows["1"]["ok"] == "TRUE"
+    assert rows["2"]["name"] == "bob" and rows["2"]["score"] is None  # gap
+    assert rows["2"]["ok"] == "FALSE"
+    assert rows["3"]["name"] is None  # '' normalized to NULL (S5)
+    assert load_xlsx(spark, str(p), n_rows=2).count() == 2  # S6
+    extra = load_xlsx(spark, str(p), sheet="extra", header=False)
+    assert [r["_c0"] for r in extra.collect()] == ["only"]
+    with pytest.raises(ValueError, match="max_bytes"):
+        load_xlsx(spark, str(p), max_bytes=10)
+    with pytest.raises(ValueError, match="not in workbook"):
+        load_xlsx(spark, str(p), sheet="nope")
+    # the all-strings frame feeds the normal check machinery
+    from anomalydetection_spark.checks import NotNullCheck
+    from anomalydetection_spark.suite import ValidationSuite
+
+    res = ValidationSuite([NotNullCheck("name")], "xlsx").run(
+        load_xlsx(spark, str(p), normalize_empty=["name"]), spark,
+        with_violations=False)
+    v = {r["metric"]: r for r in res.verdicts.collect()}
+    assert v["violation_rate"]["value"] == pytest.approx(1 / 3)
