@@ -3094,18 +3094,21 @@ def o_line_dedup() -> str:
       FROM d, unnest(range(0, (LEN(tk) + 3) // 4)) AS t(i)
     ), norm AS (
       SELECT doc_id, idx, line,
-             md5(lower(trim(regexp_replace(line, ' +', ' ', 'g')))) AS h
+             md5(lower(trim(regexp_replace(line, ' +', ' ', 'g')))) AS h,
+             lower(trim(regexp_replace(line, ' +', ' ', 'g'))) = '' AS blank
       FROM lines
     ), counts AS (
       SELECT h, COUNT(DISTINCT doc_id) AS nd FROM norm GROUP BY h
     )
+    -- blank (whitespace-only) lines are structural separators: always
+    -- kept, never boilerplate (mirrors functions/text.py line_dedup)
     SELECT doc_id,
            COUNT(*) AS n_lines,
-           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_dropped,
+           CAST(SUM(CASE WHEN nd >= 2 AND NOT blank THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped,
            md5(COALESCE(
              string_agg(line, chr(10) ORDER BY idx)
-               FILTER (WHERE nd < 2), '')) AS clean_md5
+               FILTER (WHERE nd < 2 OR blank), '')) AS clean_md5
     FROM norm JOIN counts USING (h)
     GROUP BY doc_id
     """
@@ -3184,9 +3187,11 @@ def o_url_domain_ops() -> str:
              regexp_replace(
                regexp_replace(
                  regexp_replace(
-                   regexp_replace(substr(u, LENGTH(pre) + 1),
-                                  '[?&]utm_[^&]*', '', 'g'),
-                   '^([^?&]*)&', '\1?'),
+                   regexp_replace(
+                     regexp_replace(substr(u, LENGTH(pre) + 1),
+                                    '&utm_[^&]*', '', 'g'),
+                     '\?utm_[^&]*&', '?', 'g'),
+                   '\?utm_[^&]*$', ''),
                  '\?$', ''),
                '/$', '') AS url_norm
       FROM split_auth

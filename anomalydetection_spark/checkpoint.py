@@ -295,8 +295,24 @@ class CheckpointedRunner:
                 if old == tag or old == f"{tag}._IN_USE":
                     continue
                 if old.endswith("._IN_USE"):
-                    # orphaned marker whose tag dir is gone → reclaim
-                    # by the same TTL rule below (handled via its dir)
+                    # marker file: its OWN GC pass — a marker whose tag
+                    # dir is already gone (crash between rmtree(dir) and
+                    # remove(marker), or a racing runner's rmtree) has no
+                    # dir branch left to reclaim it, so expire it here by
+                    # the same TTL rule or it accumulates forever
+                    tag_dir = os.path.join(root, old[: -len("._IN_USE")])
+                    if not os.path.exists(tag_dir):
+                        try:
+                            expired = (now - os.path.getmtime(
+                                os.path.join(root, old))
+                                >= self.staging_gc_ttl_sec)
+                        except OSError:
+                            expired = False
+                        if expired:
+                            try:
+                                os.remove(os.path.join(root, old))
+                            except OSError:
+                                pass
                     continue
                 old_marker = os.path.join(root, f"{old}._IN_USE")
                 try:
@@ -393,6 +409,7 @@ class CheckpointedRunner:
     def _run_units(self, df: DataFrame, spark, snapshot: str,
                    report: RunReport, lineage_rows: list) -> RunReport:
         scorecard_rows: list[dict] = []
+        resumed_units: list[str] = []
         for unit, slice_df in self._units(df, snapshot):
             rec = self._completed(unit, snapshot)
             if rec is not None:
@@ -400,18 +417,7 @@ class CheckpointedRunner:
                     UnitResult(unit, rec["rows"], rec["verdicts"], rec["failed"],
                                rec["violation_rows"], rec["elapsed_sec"], skipped=True)
                 )
-                # resumed units still appear on the scorecard: re-read
-                # their committed verdict rows (tiny parquet per unit)
-                vdir = os.path.join(self.out_dir, "verdicts", f"unit={unit}")
-                try:
-                    for v in spark.read.parquet(vdir).collect():
-                        scorecard_rows.append({
-                            "row_key": unit + (f"/{v['partition']}"
-                                               if v["partition"] else ""),
-                            "check": v["check"], "passed": bool(v["passed"]),
-                        })
-                except Exception:
-                    pass  # scorecard is best-effort for resumed units
+                resumed_units.append(unit)
                 continue
             t0 = time.time()
             res = self.suite.run(slice_df, spark)
@@ -449,6 +455,28 @@ class CheckpointedRunner:
             report.units.append(
                 UnitResult(unit, rows, len(vlocal), failed, viol_rows, elapsed)
             )
+        if resumed_units:
+            # resumed units still appear on the scorecard — ONE
+            # partition-pruned read of the verdicts root (dir name
+            # `unit=<u>` is a partition column; the isin filter prunes
+            # to exactly the resumed dirs), not a driver loop of one
+            # tiny Spark job per unit: a 512-bucket full resume would
+            # otherwise pay 512 sequential plan+schedule round-trips
+            # before rendering anything (review r05)
+            try:
+                vdf = (
+                    spark.read.parquet(os.path.join(self.out_dir, "verdicts"))
+                    .filter(F.col("unit").isin(resumed_units))
+                    .select("unit", "partition", "check", "passed")
+                )
+                for v in vdf.collect():
+                    scorecard_rows.append({
+                        "row_key": v["unit"] + (f"/{v['partition']}"
+                                                if v["partition"] else ""),
+                        "check": v["check"], "passed": bool(v["passed"]),
+                    })
+            except Exception:
+                pass  # scorecard is best-effort for resumed units
         if lineage_rows:
             spark.createDataFrame(
                 [

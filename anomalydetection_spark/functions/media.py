@@ -42,7 +42,16 @@ FRAME_SAMPLE_SCHEMA = (
 )
 
 
+#: Exact tags routed to the stdlib WAV parser; any other tag STARTING
+#: with "pcm" also routes there (pcm_u8 / pcm_s24le / pcm_s32le ... —
+#: the fmt chunk, not the tag, carries the real sample width).
 _WAV_CODECS = {"wav", "wave", "pcm", "pcm_s16le"}
+#: Tags that unambiguously mean a compressed codec: NEVER sniffed —
+#: an explicit compressed tag over a RIFF payload (WebP/AVI are RIFF
+#: too) is a loud misconfiguration, not a WAV (ADVICE r04).
+_COMPRESSED_CODECS = {
+    "mp3", "aac", "opus", "flac", "ogg", "vorbis", "m4a", "wma", "amr",
+}
 
 
 def _decode_wav_int(data: bytes) -> tuple[np.ndarray, int, int]:
@@ -78,15 +87,17 @@ def _decode_audio_impl(data: bytes, codec: str) -> np.ndarray:
     mono. Compressed formats (mp3/opus/flac/...) still need an injected
     decoder (soundfile/librosa in a real deployment).
 
-    The RIFF magic-byte sniff applies ONLY when the codec tag is empty
-    or unknown (ADVICE r04): an explicit non-WAV codec like 'mp3' keeps
+    The RIFF magic-byte sniff applies when the codec tag is empty or
+    unknown (ADVICE r04): an explicit COMPRESSED codec like 'mp3' keeps
     the loud NotImplementedError even if the payload happens to be a
     RIFF container (WebP/AVI are RIFF too) — feeding it to the wave
     parser would turn an obvious misconfiguration into a quiet
     decode_ok=False, or a silent decode for RIFF-wrapped PCM
-    misdeclared as compressed."""
+    misdeclared as compressed. Any ``pcm*`` tag routes to the parser
+    directly (the fmt chunk carries the true sample width)."""
     tag = (codec or "").strip().lower()
-    if tag in _WAV_CODECS or (not tag and data[:4] == b"RIFF"):
+    if (tag in _WAV_CODECS or tag.startswith("pcm")
+            or (tag not in _COMPRESSED_CODECS and data[:4] == b"RIFF")):
         frames, _rate, width = _decode_wav_int(data)
         full = 1 << (8 * width - 1)
         return (frames.mean(axis=1) / float(full)).astype(np.float32)

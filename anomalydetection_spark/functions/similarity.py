@@ -66,8 +66,19 @@ def _collect_centroids(centroids: DataFrame) -> list:
     rows = centroids.select("vec_id", "embedding").collect()
     out = []
     for r in sorted(rows, key=lambda r: r["vec_id"]):
+        if r["embedding"] is None:
+            raise ValueError(
+                f"centroid vec_id={r['vec_id']} has a NULL embedding")
         e = [float(x) for x in r["embedding"]]
-        out.append((r["vec_id"], e, _seq_dot(e, e)))
+        nb2 = _seq_dot(e, e)
+        if nb2 == 0.0:
+            # cosine to a zero vector is undefined; under ANSI SQL the
+            # literal plan's division would abort the whole job at the
+            # first scored row — fail loudly and early instead
+            raise ValueError(
+                f"centroid vec_id={r['vec_id']} has zero norm — cosine "
+                "scoring is undefined; drop or re-seed it")
+        out.append((r["vec_id"], e, nb2))
     return out
 
 
@@ -97,7 +108,13 @@ def _centroid_scores(crows: list, dim: int):
         cos = F.round(
             _fold_dot(F.col("ea"), s["eb"], dim) / F.sqrt(F.col("na2") * s["nb2"]), 8
         )
-        return F.struct((-cos).alias("negcos"), s["cid"].alias("cid"), cos.alias("cos"))
+        # rank on the RAW value (NaN sorts last, cid-ASC ties) but emit
+        # undefined scores as NULL: the Arrow arm's serializer turns NaN
+        # into null anyway (pandas float NaN == missing), so NULL is the
+        # one representation both arms can produce identically
+        cos_out = F.when(F.isnan(cos), F.lit(None).cast("double")).otherwise(cos)
+        return F.struct((-cos).alias("negcos"), s["cid"].alias("cid"),
+                        cos_out.alias("cos"))
 
     return F.sort_array(F.transform(carr, score))
 
@@ -169,12 +186,30 @@ def _nearest_centroids_arrow(v: DataFrame, crows: list, dim: int,
                 take_cos = np.empty((n, p_eff))
                 for i in range(n):
                     oi = order[i]
-                    kth = cos[i, oi[p_eff - 1]]
-                    cand = oi[cos[i, oi] >= kth - 2e-8]
-                    ranked = sorted(
-                        (-_round8_spark_repr(float(cos[i, j])), int(cids[j]))
-                        for j in cand
-                    )
+                    # NaN cosines (zero-norm row or centroid) sort LAST:
+                    # Spark's struct sort treats NaN as the largest
+                    # double, tie-broken by cid ASC — np.argsort also
+                    # places NaN last (stable → cid ASC), so padding the
+                    # finite head with NaN columns in oi order exactly
+                    # reproduces the literal path instead of indexing
+                    # into an empty candidate set (IndexError).
+                    nan_row = np.isnan(cos[i, oi])
+                    finite = oi[~nan_row]
+                    ranked = []
+                    if len(finite):
+                        f_eff = min(p_eff, len(finite))
+                        kth = cos[i, finite[f_eff - 1]]
+                        cand = finite[cos[i, finite] >= kth - 2e-8]
+                        ranked = sorted(
+                            (-_round8_spark_repr(float(cos[i, j])),
+                             int(cids[j]))
+                            for j in cand
+                        )[:f_eff]
+                    if len(ranked) < p_eff:
+                        ranked += [
+                            (float("nan"), int(cids[j]))
+                            for j in oi[nan_row][: p_eff - len(ranked)]
+                        ]
                     for p in range(p_eff):
                         take_cid[i, p] = ranked[p][1]
                         take_cos[i, p] = -ranked[p][0]
@@ -196,7 +231,16 @@ def nearest_centroids(v: DataFrame, centroids: DataFrame, dim: int,
     JVM-folded). Selects the inlined-literal projection while C·dim fits
     INLINE_LITERAL_BUDGET, else the Arrow-batched broadcast-numpy kernel
     — identical values either way (parity-tested); mirrors the
-    recommender kernel's k>64 codegen fallback."""
+    recommender kernel's k>64 codegen fallback. Rows with a NULL or
+    zero-norm vector are filtered in both arms (cosine is undefined for
+    them, and under ANSI SQL the literal plan's division would abort
+    the job at the first such row; NotNullCheck / vector-quality checks
+    own flagging). Zero-norm CENTROIDS raise at collect time. Vectors
+    carrying NaN elements pass the filter (NaN > 0 in Spark's ordering)
+    and rank LAST with cid-ASC ties; their undefined cosine surfaces as
+    NULL in both arms (the Arrow serializer maps NaN to null, so the
+    literal arm nulls NaN explicitly to match)."""
+    v = v.filter(F.col("ea").isNotNull() & (F.col("na2") > 0))
     budget = INLINE_LITERAL_BUDGET if literal_budget is None else literal_budget
     crows = _collect_centroids(centroids)
     if len(crows) * dim > budget:
@@ -790,12 +834,22 @@ def _pq_encode_arrow(emb: DataFrame, codebooks: list, m: int,
                 for d0 in range(d):  # index order == sequential fold
                     xc += Xs[:, d0][:, None] * Cbs[s][:, d0][None, :]
                 d2 = (xx[:, None] - 2.0 * xc) + ccs[s][None, :]
-                j0 = np.argmin(d2, axis=1)  # first index = code ASC on ties
                 for i in range(n):
-                    best_raw = d2[i, j0[i]]
-                    cand = np.nonzero(d2[i] <= best_raw + 2e-8)[0]
+                    # NaN distances (NaN vector elements) sort LAST in
+                    # Spark's struct sort; np.argmin would return the
+                    # first NaN index instead. Rank among finite codes;
+                    # an all-NaN row degrades to (code 0, NaN) — the
+                    # literal path's all-ties-by-code-ASC order.
+                    row = d2[i]
+                    fin = np.nonzero(~np.isnan(row))[0]
+                    if len(fin) == 0:
+                        d2s[i, s] = float("nan")
+                        codes[i, s] = 0
+                        continue
+                    best_raw = row[fin[np.argmin(row[fin])]]
+                    cand = fin[row[fin] <= best_raw + 2e-8]
                     r8, code = min(
-                        (_round8_spark_repr(float(d2[i, j])), int(j))
+                        (_round8_spark_repr(float(row[j])), int(j))
                         for j in cand
                     )
                     d2s[i, s] = r8
@@ -845,6 +899,10 @@ def pq_encode(emb: DataFrame, m: int = 8, n_codes: int = 8,
             raise ValueError(f"dim {dim} not divisible by m={m}")
         d = dim // m
         codebooks = pq_codebooks(emb, m, n_codes)
+    # NULL embeddings are unencodable: filtered here so both dispatch
+    # arms share one defined semantic (the Arrow kernel's np.vstack
+    # would die on None; the literal arm would emit useless null codes)
+    emb = emb.filter(F.col("embedding").isNotNull())
     budget = INLINE_LITERAL_BUDGET if literal_budget is None else literal_budget
     if m * len(codebooks[0]) * d > budget:
         return _pq_encode_arrow(emb, codebooks, m, d)
@@ -887,10 +945,18 @@ def pq_encode(emb: DataFrame, m: int = 8, n_codes: int = 8,
         bests.append(
             F.element_at(F.sort_array(F.transform(cb, make_dist(s))), 1))
 
+    # NaN d2 (NaN vector elements) ranks LAST in the struct sort above,
+    # but the EMITTED value is null: the Arrow arm's serializer turns
+    # NaN into null (pandas float NaN == missing), so null is the one
+    # representation both dispatch arms produce identically
     return proj.select(
         *emb.columns,
         F.array(*[b["code"] for b in bests]).alias("codes"),
-        F.array(*[b["d2"] for b in bests]).alias("dist2s"),
+        F.array(*[
+            F.when(F.isnan(b["d2"]), F.lit(None).cast("double"))
+            .otherwise(b["d2"])
+            for b in bests
+        ]).alias("dist2s"),
     )
 
 

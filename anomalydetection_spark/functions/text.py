@@ -827,6 +827,12 @@ def line_dedup(docs: DataFrame, min_docs: int = 2,
     dropped). Normalization = trim + collapse internal space runs +
     lowercase; the cross-document key is the md5 of that form (hashing
     shrinks the shuffle key to 32 bytes regardless of line length).
+    Lines that normalize to '' (blank / whitespace-only paragraph
+    separators) are STRUCTURAL, not boilerplate: they are always kept
+    and never counted toward ``min_docs`` — C4/RefinedWeb apply the
+    rule to substantive lines only, and without the exemption any two
+    multi-paragraph documents would vote every blank line in the corpus
+    into deletion.
 
     Scale shape: one map-side split/normalize pass; the global line
     count is ONE (hash)-keyed aggregation over DISTINCT (line, doc)
@@ -846,24 +852,27 @@ def line_dedup(docs: DataFrame, min_docs: int = 2,
             F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
         )
         .withColumn(
-            "h",
-            F.md5(F.lower(F.trim(F.regexp_replace("line", " +", " ")))),
+            "norm", F.lower(F.trim(F.regexp_replace("line", " +", " ")))
         )
+        .withColumn("h", F.md5("norm"))
+        .withColumn("blank", F.col("norm") == "")
+        .drop("norm")
     )
     counts = (
         base.select("h", "id").distinct()
         .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
     )
     joined = base.join(counts, "h")
+    dropped = (F.col("nd") >= min_docs) & ~F.col("blank")
     kept = F.when(
-        F.col("nd") < min_docs, F.struct("idx", "line")
+        ~dropped, F.struct("idx", "line")
     )  # collect_list skips NULLs -> only survivors collected
     return (
         joined.groupBy("id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
             F.sum(
-                F.when(F.col("nd") >= min_docs, 1).otherwise(0)
+                F.when(dropped, 1).otherwise(0)
             ).cast("bigint").alias("n_dropped"),
             F.array_join(
                 F.transform(

@@ -33,10 +33,12 @@ def url_normalize(url: Column | str) -> Column:
     """Canonical URL form: strip the fragment, lowercase ONLY the
     scheme://host[:port] authority (paths are case-significant per RFC
     3986), drop default ports (:443 for https, :80 for http), remove
-    ``utm_*`` tracking params (promoting the next param's ``&`` to
-    ``?``), and strip a trailing ``?`` or ``/``. Pure codegen
-    expressions — the dedup key canonicalizer that turns the same page
-    crawled under 6 spellings into one URL."""
+    ``utm_*`` tracking params (a removed LEADING ``?utm_…`` promotes the
+    next param's ``&`` to ``?`` in the same rewrite, so a literal ``&``
+    in a query-less path — legal per RFC 3986 — is never touched), and
+    strip a trailing ``?`` or ``/``. Pure codegen expressions — the
+    dedup key canonicalizer that turns the same page crawled under 6
+    spellings into one URL."""
     u = F.col(url) if isinstance(url, str) else url
     u = F.regexp_replace(u, "#.*$", "")                       # fragment
     prefix = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
@@ -44,8 +46,9 @@ def url_normalize(url: Column | str) -> Column:
     p = F.lower(prefix)
     p = F.regexp_replace(p, "^(https://[^:]*):443$", "$1")
     p = F.regexp_replace(p, "^(http://[^:]*):80$", "$1")
-    r = F.regexp_replace(rest, "[?&]utm_[^&]*", "")           # tracking
-    r = F.regexp_replace(r, "^([^?&]*)&", "$1?")              # ?-promote
+    r = F.regexp_replace(rest, "&utm_[^&]*", "")              # tracking (mid/tail)
+    r = F.regexp_replace(r, "\\?utm_[^&]*&", "?")             # leading, ?-promote
+    r = F.regexp_replace(r, "\\?utm_[^&]*$", "")              # leading, only param
     r = F.regexp_replace(r, "\\?$", "")
     r = F.regexp_replace(r, "/$", "")
     return F.concat(p, r)

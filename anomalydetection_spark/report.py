@@ -13,6 +13,7 @@ the runner already holds — zero extra Spark jobs.
 
 from __future__ import annotations
 
+import csv
 import html
 import os
 from typing import Iterable, Mapping
@@ -56,16 +57,16 @@ def render_scorecard(rows: Iterable[Mapping], out_dir: str,
     grand = sum(row_tot.values())
 
     csv_path = os.path.join(out_dir, f"{name}.csv")
-    with open(csv_path, "w") as f:
-        f.write(",".join([row_label] + checks + ["TOTAL"]) + "\n")
+    # csv.writer, not raw join: partition values / check names may carry
+    # commas or quotes and must not shift the matrix columns
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([row_label] + checks + ["TOTAL"])
         for rk in row_keys:
             label = rk if rk != "" else "(all)"
-            f.write(",".join(
-                [label] + [str(cell(rk, c)[0]) for c in checks]
-                + [str(row_tot[rk])]) + "\n")
-        f.write(",".join(
-            ["TOTAL"] + [str(col_tot[c]) for c in checks] + [str(grand)])
-            + "\n")
+            w.writerow([label] + [cell(rk, c)[0] for c in checks]
+                       + [row_tot[rk]])
+        w.writerow(["TOTAL"] + [col_tot[c] for c in checks] + [grand])
 
     html_path = os.path.join(out_dir, f"{name}.html")
     with open(html_path, "w") as f:

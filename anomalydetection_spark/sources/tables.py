@@ -176,11 +176,23 @@ def load_xlsx(
             target = by_name[sheet]
         target = target if target.startswith("xl/") else f"xl/{target}"
         ws = ET.fromstring(z.read(target))
-        raw_rows: list[dict[int, str | None]] = []
+        # Both `r` attributes are OPTIONAL per ECMA-376: a cell without a
+        # ref is implicitly "next column after the previous cell", and a
+        # row's 1-based `r` index places it absolutely (writers omit
+        # fully-empty rows — the gap must survive as an all-NULL row,
+        # not shift the data up). (review r05)
+        raw_map: dict[int, dict[int, str | None]] = {}
+        last_ri = 0
         for row in ws.iter(f"{MAIN}row"):
+            rr = row.get("r")
+            ri = int(rr) if rr and rr.isdigit() else last_ri + 1
+            last_ri = ri
             cells: dict[int, str | None] = {}
+            last_ci = -1
             for c in row.findall(f"{MAIN}c"):
-                ci = _xlsx_col_index(c.get("r") or "")
+                ref = c.get("r") or ""
+                ci = _xlsx_col_index(ref) if ref else last_ci + 1
+                last_ci = ci
                 t = c.get("t")
                 if t == "inlineStr":
                     v: str | None = "".join(
@@ -197,7 +209,11 @@ def load_xlsx(
                         v = ve.text
                 if ci >= 0:
                     cells[ci] = v
-            raw_rows.append(cells)
+            raw_map[ri] = cells
+    raw_rows: list[dict[int, str | None]] = (
+        [raw_map.get(i, {}) for i in range(1, max(raw_map) + 1)]
+        if raw_map else []
+    )
     width = max((max(c) + 1 for c in raw_rows if c), default=0)
     table = [[c.get(i) for i in range(width)] for c in raw_rows]
     if header and table:

@@ -189,6 +189,23 @@ def test_line_dedup_all_lines_dropped_yields_empty_text(spark):
         assert out[i]["text_clean"] == "" and out[i]["n_dropped"] == 1
 
 
+def test_line_dedup_blank_lines_are_structural_not_boilerplate(spark):
+    """Blank / whitespace-only lines are paragraph separators: shared by
+    every multi-paragraph document, so the >= min_docs vote must exempt
+    them or it deletes corpus-wide paragraph structure."""
+    from anomalydetection_spark.functions.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "para one\n\npara two"), (1, "other one\n \nother two")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_docs=2).collect()}
+    assert out[0]["n_dropped"] == 0
+    assert out[0]["text_clean"] == "para one\n\npara two"
+    assert out[1]["n_dropped"] == 0
+    # the whitespace-only separator survives VERBATIM (' '), not norm'd
+    assert out[1]["text_clean"] == "other one\n \nother two"
+
+
 def test_url_normalize_registrable_domain_and_blocklist(spark):
     from anomalydetection_spark.functions.web import (
         domain_blocklist_filter,
@@ -209,6 +226,11 @@ def test_url_normalize_registrable_domain_and_blocklist(spark):
         (4, "https://example2.com:8443/keepport?",
          "https://example2.com:8443/keepport", "example2.com"),
         (5, "https://localhost/x", "https://localhost/x", "localhost"),
+        # literal '&' in a query-less path (legal, RFC 3986): must NOT be
+        # promoted to '?' — promotion only rides an actual leading-utm
+        # removal
+        (6, "https://example.com/a&b", "https://example.com/a&b",
+         "example.com"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, u, _, _ in rows], "doc_id long, url string")
@@ -228,7 +250,7 @@ def test_url_normalize_registrable_domain_and_blocklist(spark):
         registrable_domain(host_of(url_normalize("url"))).alias("domain"))
     kept = sorted(r["doc_id"]
                   for r in domain_blocklist_filter(dom, bl).collect())
-    assert kept == [0, 1, 2, 3, 5]
+    assert kept == [0, 1, 2, 3, 5, 6]
     plan = domain_blocklist_filter(dom, bl) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

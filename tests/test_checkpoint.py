@@ -315,6 +315,34 @@ def test_staging_gc_spares_in_progress_write_without_success(
     assert os.path.exists(os.path.join(root, wip, "part-00000.parquet"))
 
 
+def test_staging_gc_reclaims_orphaned_markers(spark, image_table, tmp_path):
+    """Review r05: a crash between rmtree(dir) and remove(marker) leaves
+    root/<tag>._IN_USE with no tag dir — no dir branch can reclaim it, so
+    the marker pass must TTL-expire it itself or markers accumulate
+    forever. A fresh orphan is left alone (its writer may be about to
+    create the dir)."""
+    df = spark.read.parquet(image_table)
+    out = str(tmp_path / "staged")
+    root = os.path.join(out, "_staging")
+    os.makedirs(root)
+    with open(os.path.join(root, "dead_tag__image_id__n2._IN_USE"), "w"):
+        pass
+    # fresh orphan + default TTL: spared
+    CheckpointedRunner(
+        _suite(), out, bucket_key="image_id", n_buckets=4, stage_buckets=True
+    ).run(df, input_path=image_table)
+    assert os.path.exists(
+        os.path.join(root, "dead_tag__image_id__n2._IN_USE"))
+    # aged past TTL: reclaimed (n_buckets change forces a restage, which
+    # is the only moment GC runs)
+    CheckpointedRunner(
+        _suite(), out, bucket_key="image_id", n_buckets=2, stage_buckets=True,
+        staging_gc_ttl_sec=0.0,
+    ).run(df, input_path=image_table)
+    assert not os.path.exists(
+        os.path.join(root, "dead_tag__image_id__n2._IN_USE"))
+
+
 def test_fingerprint_ms_granularity_same_second_overwrite(tmp_path, spark):
     """ADVICE r03 (medium): a same-length file overwritten within the
     same wall-clock second must change the fingerprint — second-level
@@ -391,3 +419,25 @@ def test_scorecard_artifacts_rendered_next_to_sinks(spark, image_table, tmp_path
     with open(os.path.join(out, "scorecard.csv")) as f:
         rows2 = list(csv.reader(f))
     assert rows2 == rows
+
+
+def test_scorecard_csv_quotes_commas_in_labels(tmp_path):
+    """Review r05: partition values / check names containing commas must
+    be quoted (csv.writer), not shift every column in the row."""
+    import csv
+
+    from anomalydetection_spark.report import render_scorecard
+
+    rows = [
+        {"row_key": "region=US, East", "check": 'w "px" check',
+         "passed": False},
+        {"row_key": "region=EU", "check": 'w "px" check', "passed": True},
+    ]
+    csv_path, _ = render_scorecard(rows, str(tmp_path), row_label="unit")
+    with open(csv_path) as f:
+        parsed = list(csv.reader(f))
+    assert parsed[0] == ["unit", 'w "px" check', "TOTAL"]
+    by_label = {r[0]: r for r in parsed[1:]}
+    assert by_label["region=US, East"] == ["region=US, East", "1", "1"]
+    assert by_label["region=EU"] == ["region=EU", "0", "0"]
+    assert by_label["TOTAL"] == ["TOTAL", "1", "1"]

@@ -473,3 +473,47 @@ def test_xlsx_source_tier(spark, tmp_path):
         with_violations=False)
     v = {r["metric"]: r for r in res.verdicts.collect()}
     assert v["violation_rate"]["value"] == pytest.approx(1 / 3)
+
+
+def test_xlsx_optional_r_attributes_and_row_gaps(spark, tmp_path):
+    """Review r05: both `r` attributes are OPTIONAL per ECMA-376 — a
+    minimal writer emits neither. Cells without refs land sequentially
+    (not discarded at ci=-1), and a writer-omitted empty row survives as
+    an all-NULL row instead of shifting the data up."""
+    import zipfile
+
+    from anomalydetection_spark.sources.tables import load_xlsx
+
+    M = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    R = ('xmlns="http://schemas.openxmlformats.org/package/2006/'
+         'relationships"')
+    O = ('xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+         'relationships"')
+    files = {
+        "xl/workbook.xml":
+            f'<workbook {M} {O}><sheets>'
+            '<sheet name="data" sheetId="1" r:id="rId1"/>'
+            '</sheets></workbook>',
+        "xl/_rels/workbook.xml.rels":
+            f'<Relationships {R}><Relationship Id="rId1" Type="t" '
+            'Target="worksheets/sheet1.xml"/></Relationships>',
+        # no refs anywhere; row 3 is omitted by the writer (row r jumps
+        # from implied 2 to explicit 4)
+        "xl/worksheets/sheet1.xml": (
+            f'<worksheet {M}><sheetData>'
+            '<row><c t="inlineStr"><is><t>id</t></is></c>'
+            '<c t="inlineStr"><is><t>name</t></is></c></row>'
+            '<row><c><v>1</v></c>'
+            '<c t="inlineStr"><is><t>first</t></is></c></row>'
+            '<row r="4"><c><v>2</v></c>'
+            '<c t="inlineStr"><is><t>after-gap</t></is></c></row>'
+            '</sheetData></worksheet>'),
+    }
+    p = tmp_path / "minimal.xlsx"
+    with zipfile.ZipFile(str(p), "w") as z:
+        for name, content in files.items():
+            z.writestr(name, content)
+    df = load_xlsx(spark, str(p))
+    assert df.columns == ["id", "name"]
+    got = [(r["id"], r["name"]) for r in df.collect()]
+    assert got == [("1", "first"), (None, None), ("2", "after-gap")]

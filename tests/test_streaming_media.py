@@ -141,7 +141,9 @@ def test_riff_sniff_does_not_override_explicit_codec(spark):
     happens to be a RIFF container (WebP/AVI are RIFF too) must keep the
     loud NotImplementedError path — sniffing it into the wave parser
     would turn a misconfiguration into a silent decode or a quiet
-    decode_ok=False. The sniff applies only to an empty/NULL codec tag."""
+    decode_ok=False. The sniff applies to empty/NULL and UNKNOWN tags;
+    pcm* variants route to the parser directly (review r05: the fmt
+    chunk, not the tag, carries the real sample width)."""
     from anomalydetection_spark.functions.media import pcm16_wav_bytes
     import numpy as np
 
@@ -159,6 +161,15 @@ def test_riff_sniff_does_not_override_explicit_codec(spark):
     )
     got = {r["media_id"]: r for r in audio_features(untagged).collect()}
     assert got["u0"]["decode_ok"] and got["u1"]["decode_ok"]
+    # pcm-family tags not in the exact set route to the parser (the fmt
+    # chunk defines the width); unknown non-compressed tags are sniffed
+    pcmish = spark.createDataFrame(
+        [("p0", riff, "pcm_s24le", 8000, 1, 1),
+         ("p1", riff, "x-custom", 8000, 1, 1)],
+        schema,
+    )
+    got2 = {r["media_id"]: r for r in audio_features(pcmish).collect()}
+    assert got2["p0"]["decode_ok"] and got2["p1"]["decode_ok"]
 
 
 def test_frame_sampling_feeds_image_suite(spark):

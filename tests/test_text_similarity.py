@@ -812,6 +812,89 @@ def test_arrow_scorer_handles_exact_ties_and_round_boundary(spark):
     assert lit[10][0] == 0      # cid ASC among raw-equal 0/1/2
 
 
+def test_arrow_scorer_degenerate_inputs_match_literal_path(spark):
+    """Degenerate-input parity (review r05). Under ANSI SQL the literal
+    plan's division ABORTS the job on a zero divisor, so the defined
+    contract is: NULL / zero-norm corpus rows are filtered in both arms,
+    a zero-norm centroid raises loudly at collect time, and NaN-element
+    vectors (which pass the na2>0 filter — NaN > 0 in Spark's ordering)
+    score NaN ranked LAST with cid-ASC ties — where the Arrow kernel
+    previously died on an empty candidate set."""
+    import math
+
+    import pytest as _pytest
+
+    from anomalydetection_spark.functions.similarity import (
+        ivf_assign,
+        ivf_probe_buckets,
+        pq_encode,
+    )
+
+    def eq(a, b):
+        if isinstance(a, float) and isinstance(b, float):
+            return (math.isnan(a) and math.isnan(b)) or a == b
+        return a == b
+
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [4.0, 3.0, 2.0, 1.0]),
+        (2, [1.0, float("nan"), 1.0, 1.0]),        # NaN-element corpus row
+        (10, [2.0, 4.0, 6.0, 8.0]),
+        (11, [0.0, 0.0, 0.0, 0.0]),                # zero-norm corpus row
+        (12, None),                                 # NULL embedding
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = emb.filter(F.col("vec_id") < 2).select("vec_id", "embedding")
+
+    lit = {r["vec_id"]: (r["bucket"], r["cos_to_centroid"])
+           for r in ivf_assign(emb, centroids).collect()}
+    arr = {r["vec_id"]: (r["bucket"], r["cos_to_centroid"])
+           for r in ivf_assign(emb, centroids, literal_budget=0).collect()}
+    assert set(arr) == set(lit) == {0, 1, 2, 10}   # NULL + zero-norm dropped
+    for k in lit:
+        assert eq(arr[k][0], lit[k][0]) and eq(arr[k][1], lit[k][1]), k
+    # the NaN-element row survives; its undefined cosine is NULL in both
+    # arms (ranked last, cid-ASC tie pick)
+    assert lit[2][1] is None and lit[2][0] == 0
+
+    # nprobe=2 probe lists agree, NaN row's probes padded cid ASC
+    plit = sorted(
+        ((r["vec_id"], r["bucket"]) for r in
+         ivf_probe_buckets(emb, centroids, 2).collect()))
+    parr = sorted(
+        ((r["vec_id"], r["bucket"]) for r in
+         ivf_probe_buckets(emb, centroids, 2, literal_budget=0).collect()))
+    assert parr == plit and len(plit) == 4 * 2
+
+    # zero-norm CENTROID: loud ValueError, not an ANSI abort mid-job
+    zc = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="zero norm"):
+        ivf_assign(emb, zc)
+
+    pq_rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [4.0, 3.0, 2.0, 1.0]),
+        (2, [1.0, 1.0, float("nan"), float("nan")]),  # NaN subspace
+        (3, None),                                     # NULL embedding
+    ]
+    pemb = spark.createDataFrame(
+        pq_rows, "vec_id long, embedding array<double>")
+    plit2 = {r["vec_id"]: (list(r["codes"]), list(r["dist2s"]))
+             for r in pq_encode(pemb, m=2, n_codes=2).collect()}
+    parr2 = {r["vec_id"]: (list(r["codes"]), list(r["dist2s"]))
+             for r in pq_encode(pemb, m=2, n_codes=2,
+                                literal_budget=0).collect()}
+    assert set(parr2) == set(plit2) and 3 not in plit2  # NULL filtered
+    for k in plit2:
+        assert plit2[k][0] == parr2[k][0], k
+        assert all(eq(x, y)
+                   for x, y in zip(plit2[k][1], parr2[k][1])), k
+    # NaN subspace: code 0 (all-ties code-ASC), dist² NULL in both arms
+    assert plit2[2][0][1] == 0 and plit2[2][1][1] is None
+
+
 def test_lang_id_accepts_externally_trained_profiles(spark):
     """The profiles parameter is a real injection seam (VERDICT r04
     what's-wrong #4): an externally-supplied (lang, trigram) frame —
