@@ -132,7 +132,7 @@ def _round8_spark_repr(x: float) -> float:
 
 
 def _nearest_centroids_arrow(v: DataFrame, crows: list, dim: int,
-                             nprobe: int) -> DataFrame:
+                             nprobe: int, dot_mode: str = "exact") -> DataFrame:
     """Arrow-batched broadcast-numpy centroid scorer — the scale path
     above INLINE_LITERAL_BUDGET (C·dim beyond ~10^6 literals would blow
     the plan/codegen; a production IVF with C=4096, dim=768 lands here).
@@ -148,7 +148,19 @@ def _nearest_centroids_arrow(v: DataFrame, crows: list, dim: int,
     only candidates within 2e-8 of the rank-nprobe raw score are
     exact-rounded (``_round8_spark_repr``) and re-ranked by
     (cos DESC, cid ASC), reproducing the literal path's
-    round-then-sort total order including tie-breaks."""
+    round-then-sort total order including tie-breaks.
+
+    ``dot_mode="gemm"`` is the production-throughput variant: one BLAS
+    matmul per chunk instead of dim element-order passes (~10× on the
+    measured ann_assign cell; the element-order accumulation is memory-
+    bandwidth-bound — it materializes an n×C temporary per element).
+    BLAS sums in a different (pairwise/blocked) order, so raw cosines
+    may differ from the fold by ~1 ulp·dim; ranking still runs raw-
+    then-exact-rounded inside the same ±2e-8 band, so assignments can
+    diverge from the exact arm only when two centroids' true cosines
+    are within ~1e-15 of each other AND straddle a repr-tie — assert-
+    identical on every test fixture. Default stays "exact": it is the
+    oracle-parity arm; opt into "gemm" for bulk assignment at scale."""
     import numpy as np
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -177,9 +189,12 @@ def _nearest_centroids_arrow(v: DataFrame, crows: list, dim: int,
                     continue
                 A = np.vstack(sub["ea"].to_numpy()).astype(np.float64)
                 na2 = sub["na2"].to_numpy(dtype=np.float64)
-                acc = np.zeros((n, len(cids)))
-                for d0 in range(A.shape[1]):  # index order == sequential fold
-                    acc += A[:, d0][:, None] * Cm[:, d0][None, :]
+                if dot_mode == "gemm":
+                    acc = A @ Cm.T                 # BLAS order, ~1 ulp·dim
+                else:
+                    acc = np.zeros((n, len(cids)))
+                    for d0 in range(A.shape[1]):  # index order == seq. fold
+                        acc += A[:, d0][:, None] * Cm[:, d0][None, :]
                 cos = acc / np.sqrt(na2[:, None] * nb2[None, :])
                 order = np.argsort(-cos, axis=1, kind="stable")  # ties → cid ASC
                 take_cid = np.empty((n, p_eff), dtype=np.int64)
@@ -223,7 +238,8 @@ def _nearest_centroids_arrow(v: DataFrame, crows: list, dim: int,
 
 def nearest_centroids(v: DataFrame, centroids: DataFrame, dim: int,
                       nprobe: int = 1,
-                      literal_budget: int | None = None) -> DataFrame:
+                      literal_budget: int | None = None,
+                      dot_mode: str = "exact") -> DataFrame:
     """Dispatching entry point for map-side centroid assignment: returns
     ``v``'s columns plus (``__cid`` long, ``__cos`` double) for each of
     the row's ``nprobe`` best centroids (cosine DESC, cid ASC; one output
@@ -240,11 +256,15 @@ def nearest_centroids(v: DataFrame, centroids: DataFrame, dim: int,
     and rank LAST with cid-ASC ties; their undefined cosine surfaces as
     NULL in both arms (the Arrow serializer maps NaN to null, so the
     literal arm nulls NaN explicitly to match)."""
+    if dot_mode not in ("exact", "gemm"):
+        raise ValueError(f"dot_mode must be 'exact' or 'gemm', got {dot_mode!r}")
     v = v.filter(F.col("ea").isNotNull() & (F.col("na2") > 0))
     budget = INLINE_LITERAL_BUDGET if literal_budget is None else literal_budget
     crows = _collect_centroids(centroids)
-    if len(crows) * dim > budget:
-        return _nearest_centroids_arrow(v, crows, dim, nprobe)
+    # an explicit gemm request always takes the Arrow kernel — the BLAS
+    # matmul is the point; the literal plan has no gemm-order analog
+    if dot_mode == "gemm" or len(crows) * dim > budget:
+        return _nearest_centroids_arrow(v, crows, dim, nprobe, dot_mode)
     if nprobe == 1:
         best = F.element_at(_centroid_scores(crows, dim), 1)
         return v.select(
@@ -261,17 +281,21 @@ def nearest_centroids(v: DataFrame, centroids: DataFrame, dim: int,
 
 
 def ivf_assign(emb: DataFrame, centroids: DataFrame,
-               literal_budget: int | None = None) -> DataFrame:
+               literal_budget: int | None = None,
+               dot_mode: str = "exact") -> DataFrame:
     """(vec_id, bucket, cos_to_centroid): nearest centroid by cosine.
 
     ``centroids``: (vec_id, embedding) — tiny (C rows). Scoring and the
     top-1 pick are both map-side (see ``nearest_centroids``): the corpus
     is never shuffled and never row-multiplied ×C. Ties break on the
     smaller centroid id, matching the oracle's ``ORDER BY cos DESC, cid
-    ASC``. Above INLINE_LITERAL_BUDGET the scorer is the Arrow kernel."""
+    ASC``. Above INLINE_LITERAL_BUDGET the scorer is the Arrow kernel;
+    ``dot_mode="gemm"`` opts bulk assignment into the BLAS-matmul Arrow
+    variant (see ``_nearest_centroids_arrow`` — throughput mode, not the
+    oracle-parity arm)."""
     dim = embedding_dim(emb)
     v = _with_norm(emb, "a", "ea", "na2", dim)
-    out = nearest_centroids(v, centroids, dim, 1, literal_budget)
+    out = nearest_centroids(v, centroids, dim, 1, literal_budget, dot_mode)
     return out.select(
         F.col("a").alias("vec_id"),
         F.col("__cid").alias("bucket"),
@@ -497,16 +521,18 @@ def cosine_near_dup_lsh(emb: DataFrame, spark, threshold: float,
 
 def ivf_probe_buckets(emb: DataFrame, centroids: DataFrame,
                       nprobe: int,
-                      literal_budget: int | None = None) -> DataFrame:
+                      literal_budget: int | None = None,
+                      dot_mode: str = "exact") -> DataFrame:
     """(vec_id, bucket) — each vector's ``nprobe`` nearest centroid
     buckets (probe list). nprobe=1 degenerates to ivf_assign's bucket.
 
     Map-side like ``ivf_assign``: a narrow ≤nprobe-row fan-out per
     vector, not a shuffle of n×C scored pairs; Arrow kernel above the
-    literal budget."""
+    literal budget, BLAS variant via ``dot_mode="gemm"``."""
     dim = embedding_dim(emb)
     v = _with_norm(emb, "a", "ea", "na2", dim)
-    out = nearest_centroids(v, centroids, dim, nprobe, literal_budget)
+    out = nearest_centroids(v, centroids, dim, nprobe, literal_budget,
+                            dot_mode)
     return out.select(
         F.col("a").alias("vec_id"), F.col("__cid").alias("bucket")
     )

@@ -769,6 +769,46 @@ def test_arrow_centroid_scorer_bit_parity_with_literal_path(spark):
     assert upd_arr == upd_lit
 
 
+def test_gemm_dot_mode_matches_exact_arm(spark):
+    """dot_mode="gemm" (the BLAS-matmul throughput variant of the Arrow
+    scorer) must produce the SAME assignments and probe lists as the
+    exact element-order arm, and cosines within the ~1 ulp·dim BLAS
+    reordering bound; an explicit gemm request routes through the Arrow
+    kernel even below the literal budget. Assignments only diverge when
+    two true cosines sit within ~1e-15 AND straddle a repr-tie — never
+    on real data; this fixture asserts exact equality."""
+    from anomalydetection_spark.functions.similarity import (
+        ivf_assign,
+        ivf_probe_buckets,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+
+    exact = {r["vec_id"]: (r["bucket"], r["cos_to_centroid"])
+             for r in ivf_assign(emb, centroids, literal_budget=0).collect()}
+    gemm = {r["vec_id"]: (r["bucket"], r["cos_to_centroid"])
+            for r in ivf_assign(emb, centroids, dot_mode="gemm").collect()}
+    assert len(gemm) == len(exact) > 0
+    for vid, (bkt, cos) in exact.items():
+        gbkt, gcos = gemm[vid]
+        assert gbkt == bkt
+        # both arms ROUND-8 the raw cosine; the BLAS reorder can flip
+        # the 8th decimal only on a repr-tie boundary (~1e-7/value odds)
+        assert gcos == pytest.approx(cos, abs=2e-8)
+
+    pexact = {(r["vec_id"], r["bucket"])
+              for r in ivf_probe_buckets(emb, centroids, 2,
+                                         literal_budget=0).collect()}
+    pgemm = {(r["vec_id"], r["bucket"])
+             for r in ivf_probe_buckets(emb, centroids, 2,
+                                        dot_mode="gemm").collect()}
+    assert pgemm == pexact and len(pexact) > 0
+
+    with pytest.raises(ValueError, match="dot_mode"):
+        ivf_assign(emb, centroids, dot_mode="fast").collect()
+
+
 def test_arrow_pq_encoder_bit_parity_with_literal_path(spark):
     """pq_encode above the m·K·d literal budget routes through
     _pq_encode_arrow; forced via literal_budget=0 — codes AND rounded
