@@ -53,7 +53,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/adspark_bench")
 
-CELL_SCRIPT = r"""
+# The cell script is assembled per workload as PREAMBLE + its own body +
+# FOOTER, and workload_src_hash hashes exactly that assembled text — so
+# editing one workload's body never invalidates another workload's
+# recorded cells (review r05: a whole-script hash marked the expensive
+# 128M-row weak cells stale over an ann-only edit).
+CELL_PREAMBLE = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from anomalydetection_spark.session import get_spark
@@ -63,100 +68,123 @@ workload = {workload!r}
 spark = get_spark("scaling-" + workload,
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
+"""
 
-if workload in ("suite_audit", "suite_profile"):
-    from anomalydetection_spark.plans.image_suite import build_image_suite
-    from anomalydetection_spark.checks.uniqueness import UniquenessCheck
-    df = spark.read.parquet({meta!r})
-    rows = df.count()
-    suite = build_image_suite(["jpeg", "png", "webp"], with_decode=False)
-    if workload == "suite_profile":
-        for c in suite.checks:
-            if isinstance(c, UniquenessCheck):
-                c.hll_only = True
-    def run():
-        t0 = time.perf_counter()
-        suite.run(df, spark).verdicts.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
-elif workload == "decode":
-    from anomalydetection_spark.image_udfs import decode_results
-    df = spark.read.parquet({pay!r})
-    rows = df.count()
-    def run():
-        t0 = time.perf_counter()
-        decode_results(df).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
-elif workload == "kernel_ts":
+_SUITE_BODY = r"""
+from anomalydetection_spark.plans.image_suite import build_image_suite
+from anomalydetection_spark.checks.uniqueness import UniquenessCheck
+df = spark.read.parquet({meta!r})
+rows = df.count()
+suite = build_image_suite(["jpeg", "png", "webp"], with_decode=False)
+if workload == "suite_profile":
+    for c in suite.checks:
+        if isinstance(c, UniquenessCheck):
+            c.hll_only = True
+def run():
+    t0 = time.perf_counter()
+    suite.run(df, spark).verdicts.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+"""
+
+# Large-C IVF assignment: C=4096 centroids x dim 256 = 1,048,576 floats
+# > INLINE_LITERAL_BUDGET, so this cell exercises the Arrow-batched
+# broadcast-numpy scorer (the production-ANN path) — map-only Python
+# compute, the closest analog to the decode cell but with a dense
+# O(C*dim) per-row kernel. The _gemm variant runs the same job with
+# dot_mode="gemm" (one BLAS matmul per chunk instead of dim element-
+# order passes — the bulk-throughput mode).
+_ANN_BODY = r"""
+from anomalydetection_spark.functions.similarity import ivf_assign
+df = spark.read.parquet({ann!r})
+rows = df.count()
+centroids = df.filter(F.col("vec_id") < 4096).select("vec_id", "embedding")
+mode = "gemm" if workload.endswith("_gemm") else "exact"
+def run():
+    t0 = time.perf_counter()
+    ivf_assign(df, centroids, dot_mode=mode) \
+        .write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+"""
+
+CELL_BODIES = {
+    "suite_audit": _SUITE_BODY,
+    "suite_profile": _SUITE_BODY,
+    "decode": r"""
+from anomalydetection_spark.image_udfs import decode_results
+df = spark.read.parquet({pay!r})
+rows = df.count()
+def run():
+    t0 = time.perf_counter()
+    decode_results(df).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+""",
     # K2 model kernel: 100k deterministic synthetic series x 24 periods.
     # Input is generated by codegen expressions (identical at every
     # parallelism level, negligible vs the scoring stage).
-    from anomalydetection_spark.kernels.timeseries import run_time_series
-    n_series = 100_000
-    rows = n_series * 24
-    df = spark.range(rows).select(
-        (F.col("id") % n_series).alias("sid"),
-        (F.col("id") / n_series).cast("int").alias("period"),
-        (F.sin((F.col("id") % 7919).cast("double")) * 10.0
-         + F.pmod(F.col("id") * 2654435761, F.lit(97)).cast("double")
-         ).alias("value"),
-    )
-    def run():
-        t0 = time.perf_counter()
-        out = run_time_series(df, ["sid"], "period", "value",
-                              season=4, min_recent=8)
-        out.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
-elif workload == "ann_assign":
-    # Large-C IVF assignment: C=4096 centroids x dim 256 = 1,048,576
-    # floats > INLINE_LITERAL_BUDGET, so this cell exercises the
-    # Arrow-batched broadcast-numpy scorer (the production-ANN path) —
-    # map-only Python compute, the closest analog to the decode cell
-    # but with a dense O(C*dim) per-row kernel.
-    from anomalydetection_spark.functions.similarity import ivf_assign
-    df = spark.read.parquet({ann!r})
-    rows = df.count()
-    centroids = df.filter(F.col("vec_id") < 4096).select("vec_id", "embedding")
-    def run():
-        t0 = time.perf_counter()
-        ivf_assign(df, centroids).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
-elif workload == "scan":
-    df = spark.read.parquet({meta!r})
-    rows = df.count()
-    def run():
-        t0 = time.perf_counter()
-        df.agg(F.sum("w"), F.sum("h"), F.avg("phash"), F.count("caption")).collect()
-        return time.perf_counter() - t0
-elif workload == "cpu":
+    "kernel_ts": r"""
+from anomalydetection_spark.kernels.timeseries import run_time_series
+n_series = 100_000
+rows = n_series * 24
+df = spark.range(rows).select(
+    (F.col("id") % n_series).alias("sid"),
+    (F.col("id") / n_series).cast("int").alias("period"),
+    (F.sin((F.col("id") % 7919).cast("double")) * 10.0
+     + F.pmod(F.col("id") * 2654435761, F.lit(97)).cast("double")
+     ).alias("value"),
+)
+def run():
+    t0 = time.perf_counter()
+    out = run_time_series(df, ["sid"], "period", "value",
+                          season=4, min_recent=8)
+    out.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+""",
+    "ann_assign": _ANN_BODY,
+    "ann_assign_gemm": _ANN_BODY,
+    "scan": r"""
+df = spark.read.parquet({meta!r})
+rows = df.count()
+def run():
+    t0 = time.perf_counter()
+    df.agg(F.sum("w"), F.sum("h"), F.avg("phash"), F.count("caption")).collect()
+    return time.perf_counter() - t0
+""",
     # pure JVM compute, whole-stage codegen, ~zero memory traffic: the
     # box's CPU-scaling ceiling (task scheduling overhead included).
     # Sized so the local[32] cell runs >2s — fixed job-submission cost
     # must not masquerade as poor scaling.
-    rows = 24_000_000
-    df = spark.range(rows)
-    expr = F.length(F.md5(F.md5(F.md5(F.md5(F.concat(F.lit("x"), F.col("id")))))))
-    def run():
-        t0 = time.perf_counter()
-        df.agg(F.sum(expr)).collect()
-        return time.perf_counter() - t0
-else:
-    raise SystemExit("unknown workload " + workload)
+    "cpu": r"""
+rows = 24_000_000
+df = spark.range(rows)
+expr = F.length(F.md5(F.md5(F.md5(F.md5(F.concat(F.lit("x"), F.col("id")))))))
+def run():
+    t0 = time.perf_counter()
+    df.agg(F.sum(expr)).collect()
+    return time.perf_counter() - t0
+""",
+}
 
+CELL_FOOTER = r"""
 for _ in range(2):                     # warm: codegen + C2
     run()
 best = min(run() for _ in range(3))
 print("CELLRESULT " + json.dumps({{"rows": rows, "sec": round(best, 3)}}))
 """
 
+
+def cell_script(w: str) -> str:
+    """The exact script a workload's cell executes (unformatted)."""
+    return CELL_PREAMBLE + CELL_BODIES[w] + CELL_FOOTER
+
 WORKLOADS = ("cpu", "scan", "suite_audit", "suite_profile", "decode",
-             "kernel_ts", "ann_assign")
+             "kernel_ts", "ann_assign", "ann_assign_gemm")
 
 # Source files whose content defines each workload's measured code path
-# (dirs expand to every .py under them). CELL_SCRIPT and session.py are
-# hashed for every workload. --merge-best records the hash per cell and
-# REFUSES to keep a prior cell whose hash no longer matches (ADVICE r04:
-# an equal row count alone let a stale faster leg mask a perf regression
-# indefinitely).
+# (dirs expand to every .py under them). The workload's OWN cell script
+# (preamble + body + footer) and session.py are hashed alongside them.
+# --merge-best records the hash per cell and REFUSES to keep a prior
+# cell whose hash no longer matches (ADVICE r04: an equal row count
+# alone let a stale faster leg mask a perf regression indefinitely).
 WORKLOAD_SOURCES = {
     "cpu": [],
     "scan": [],
@@ -171,17 +199,18 @@ WORKLOAD_SOURCES = {
                "anomalydetection_spark/functions/image_ops.py"],
     "kernel_ts": ["anomalydetection_spark/kernels/timeseries.py"],
     "ann_assign": ["anomalydetection_spark/functions/similarity.py"],
+    "ann_assign_gemm": ["anomalydetection_spark/functions/similarity.py"],
 }
 
 
 def workload_src_hash(w: str) -> str:
     """Content hash of the code a workload's cell actually executes:
-    CELL_SCRIPT + session.py + the workload's package files, path-tagged
-    and sorted so the digest is stable across filesystems."""
+    its OWN cell script + session.py + the workload's package files,
+    path-tagged and sorted so the digest is stable across filesystems."""
     import hashlib
 
     h = hashlib.sha256()
-    h.update(CELL_SCRIPT.encode())
+    h.update(cell_script(w).encode())
     files = []
     for rel in ["anomalydetection_spark/session.py"] + WORKLOAD_SOURCES.get(w, []):
         p = os.path.join(REPO, rel)
@@ -278,7 +307,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     ensure(spark, paths["meta"], args.meta_rows, False)
     ensure(spark, paths["pay"], args.payload_rows, True)
-    if "ann_assign" in args.workloads:
+    if any(w.startswith("ann_assign") for w in args.workloads):
         ensure_ann(spark, paths["ann"], args.ann_rows)
     if args.weak:
         big_rows = args.meta_rows * 4
@@ -288,7 +317,7 @@ def main() -> None:
 
     def run_cell(w: str, cpus: int, meta: str, pay: str) -> dict:
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-        script = CELL_SCRIPT.format(repo=REPO, workload=w, meta=meta, pay=pay,
+        script = cell_script(w).format(repo=REPO, workload=w, meta=meta, pay=pay,
                                     ann=paths["ann"])
         out = subprocess.run(
             [sys.executable, "-c", script], env=env, capture_output=True,
@@ -447,6 +476,9 @@ TITLES = {
                  "explicitly-repartitioned vectorized Python scoring)",
     "ann_assign": "Large-C IVF assignment (C=4096 × dim 256 — the "
                   "Arrow broadcast-numpy scorer above the literal budget)",
+    "ann_assign_gemm": "Large-C IVF assignment, dot_mode=\"gemm\" (same "
+                       "job, one BLAS matmul per chunk — the bulk-"
+                       "throughput mode)",
 }
 
 
@@ -645,6 +677,30 @@ def write_markdown(result: dict, cpus: list[int], pairs: list) -> None:
             "other scaling term.",
             "",
         ]
+        if "ann_assign_gemm" in ws:
+            g = ws["ann_assign_gemm"]
+            x = ws["ann_assign"]
+            top = result["cpus"][-1]
+            ratio = x[f"sec_local{top}"] / g[f"sec_local{top}"]
+            lines += [
+                f"`dot_mode=\"gemm\"` (the bulk-throughput variant — one"
+                " BLAS matmul",
+                "per chunk, assignments test-identical to the exact arm)"
+                " runs the",
+                f"same job {ratio:.1f}× faster at local[{top}]"
+                f" ({g[f'rows_per_sec_local{top}']:,.0f} vs"
+                f" {x[f'rows_per_sec_local{top}']:,.0f} rows/s), with"
+                f" {eff('ann_assign_gemm', lo0, hi0):.2f} /"
+                f" {eff('ann_assign_gemm', lo1, hi1):.2f} efficiency at"
+                f" the two pairs (the {g[f'sec_local{top}']:.1f}s"
+                f" top-pair wall sits on the ~1-2s fixed job-submission"
+                " floor every cell carries, so that pair reads as"
+                " overhead, not kernel scaling — size the input up when"
+                " gemm throughput itself is the question): use gemm for"
+                " bulk assignment, the exact arm when oracle",
+                "parity must hold bit-for-bit.",
+                "",
+            ]
     if not weak:
         lines += [
             "Separately measured large-input regime (128M rows, audit mode):",
