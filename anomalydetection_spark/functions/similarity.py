@@ -79,6 +79,12 @@ def _collect_centroids(centroids: DataFrame) -> list:
                 f"centroid vec_id={r['vec_id']} has zero norm — cosine "
                 "scoring is undefined; drop or re-seed it")
         out.append((r["vec_id"], e, nb2))
+    if not out:
+        # the literal arm would silently emit NULL assignments and the
+        # Arrow arm would crash on an empty (0,) centroid matrix — an
+        # empty centroid frame is always a caller bug, so fail like the
+        # zero-norm case: loudly, before any job runs
+        raise ValueError("centroids is empty — nothing to score against")
     return out
 
 

@@ -808,6 +808,13 @@ def test_gemm_dot_mode_matches_exact_arm(spark):
     with pytest.raises(ValueError, match="dot_mode"):
         ivf_assign(emb, centroids, dot_mode="fast").collect()
 
+    # empty centroids must fail loudly in EVERY arm (the literal plan
+    # would emit NULL assignments, the Arrow matrix would be 1-D empty)
+    none = centroids.filter(F.col("vec_id") < 0)
+    for kw in ({}, {"dot_mode": "gemm"}, {"literal_budget": 0}):
+        with pytest.raises(ValueError, match="empty"):
+            ivf_assign(emb, none, **kw)
+
 
 def test_arrow_pq_encoder_bit_parity_with_literal_path(spark):
     """pq_encode above the m·K·d literal budget routes through
