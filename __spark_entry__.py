@@ -3114,6 +3114,126 @@ def o_line_dedup() -> str:
     """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (functions/text.py
+    repetition_signals) — the Gopher duplicate-line and top-n-gram
+    character-mass rules (Rae et al. 2021 §A1.1), the half of the
+    quality rule set text_gopher_quality's distinct-ratio doesn't
+    cover. The corpus is single-line, so the gate derives the same
+    deterministic 4-token-window lines as q_line_dedup, then makes
+    within-doc repetition actually occur: docs with doc_id % 3 == 0
+    repeat their first two lines (pure list ops, identical in both
+    engines — the text_pii_scan injection pattern). All counts are
+    exact integers; fractions are ROUND-8 ratios of those integers;
+    rep_pass is evaluated in cross-multiplied integer form so boundary
+    docs can never flip on float rounding."""
+    from anomalydetection_spark.functions.text import repetition_signals
+
+    d = _td(spark, sf_dir).filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    tk = d.select("doc_id", F.split("text", " ").alias("tk"))
+    nl = F.expr("CAST((size(tk) + 3) DIV 4 AS INT)")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i * 4 + 1, 4)),
+    )
+    aug = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(lines, F.slice(lines, 1, 2))
+    ).otherwise(lines)
+    synth = tk.select("doc_id", F.array_join(aug, "\n").alias("text"))
+    return repetition_signals(synth)
+
+
+def o_text_repetition() -> str:
+    return """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), linearr AS (
+      SELECT doc_id,
+             list_transform(range(0, (LEN(tk) + 3) // 4),
+                            i -> array_to_string(tk[(i*4+1):(i*4+4)], ' '))
+               AS ls
+      FROM d
+    ), aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN list_concat(ls, ls[1:2])
+                  ELSE ls END AS ls
+      FROM linearr
+    ), txt AS (
+      SELECT doc_id, array_to_string(ls, chr(10)) AS text FROM aug
+    ), lines AS (
+      SELECT doc_id, u.line
+      FROM txt, UNNEST(string_split(text, chr(10))) AS u(line)
+      WHERE trim(u.line) != ''
+    ), lc AS (
+      SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY doc_id, line
+    ), lagg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_lines,
+             CAST(SUM(c - 1) AS BIGINT) AS dup_lines,
+             CAST(SUM(c * LENGTH(line)) AS BIGINT) AS line_chars,
+             CAST(SUM((c - 1) * LENGTH(line)) AS BIGINT) AS dup_line_chars
+      FROM lc GROUP BY doc_id
+    ), tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \n]+'),
+                         t -> t != '') AS tk2,
+             CAST(LENGTH(text) AS BIGINT) AS text_chars
+      FROM txt
+    ), g2c AS (
+      SELECT doc_id, array_to_string(tk2[(i):(i+1)], ' ') AS g,
+             COUNT(*) AS c
+      FROM tok, UNNEST(range(1, LEN(tk2))) AS t(i)
+      GROUP BY 1, 2
+    ), t2 AS (
+      SELECT doc_id, CAST(MAX(c * LENGTH(g)) AS BIGINT) AS top2
+      FROM g2c GROUP BY doc_id
+    ), g3c AS (
+      SELECT doc_id, array_to_string(tk2[(i):(i+2)], ' ') AS g,
+             COUNT(*) AS c
+      FROM tok, UNNEST(range(1, LEN(tk2) - 1)) AS t(i)
+      GROUP BY 1, 2
+    ), t3 AS (
+      SELECT doc_id, CAST(MAX(c * LENGTH(g)) AS BIGINT) AS top3
+      FROM g3c GROUP BY doc_id
+    )
+    SELECT k.doc_id,
+           k.text_chars,
+           COALESCE(l.n_lines, 0) AS n_lines,
+           COALESCE(l.dup_lines, 0) AS dup_lines,
+           COALESCE(l.line_chars, 0) AS line_chars,
+           COALESCE(l.dup_line_chars, 0) AS dup_line_chars,
+           COALESCE(t2.top2, 0) AS top2gram_chars,
+           COALESCE(t3.top3, 0) AS top3gram_chars,
+           CASE WHEN COALESCE(l.n_lines, 0) > 0
+                THEN ROUND(CAST(l.dup_lines AS DOUBLE) / l.n_lines, 8)
+                ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN COALESCE(l.line_chars, 0) > 0
+                THEN ROUND(CAST(l.dup_line_chars AS DOUBLE) / l.line_chars, 8)
+                ELSE 0.0 END AS dup_line_char_frac,
+           CASE WHEN k.text_chars > 0
+                THEN ROUND(CAST(COALESCE(t2.top2, 0) AS DOUBLE)
+                           / k.text_chars, 8)
+                ELSE 0.0 END AS top2gram_frac,
+           CASE WHEN k.text_chars > 0
+                THEN ROUND(CAST(COALESCE(t3.top3, 0) AS DOUBLE)
+                           / k.text_chars, 8)
+                ELSE 0.0 END AS top3gram_frac,
+           (COALESCE(l.dup_lines, 0) * 100 <= 30 * COALESCE(l.n_lines, 0)
+            AND COALESCE(l.dup_line_chars, 0) * 100
+                <= 20 * COALESCE(l.line_chars, 0)
+            AND COALESCE(t2.top2, 0) * 100 <= 20 * k.text_chars
+            AND COALESCE(t3.top3, 0) * 100 <= 18 * k.text_chars)
+             AS rep_pass
+    FROM tok k
+    LEFT JOIN lagg l USING (doc_id)
+    LEFT JOIN t2 USING (doc_id)
+    LEFT JOIN t3 USING (doc_id)
+    """
+
+
 def q_url_domain_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL normalize + registrable-domain extract + broadcast blocklist
     anti-join (functions/web.py, VERDICT r04 #4) — the first stage of a
@@ -3267,10 +3387,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #        line_dedup + url_domain_ops): text_quality_buckets,
     #        column_stats_by_group, drift_ks (all green r01+r02+r03+r04;
     #        families keep in-window coverage via text_gopher_quality,
-    #        column_stats_profile and drift_psi respectively)
+    #        column_stats_profile and drift_psi respectively); late r05,
+    #        to admit text_repetition: dedup_simhash (green r01-r04;
+    #        dedup family keeps in-window coverage via dedup_exact,
+    #        dedup_minhash_lsh, dedup_hamming64, dedup_clusters)
     #   rows-only by documented design: rec_analysis_flags, ts_band_flags
     return {
         # -- new this round (r05) + never driver-checked lead the window --
+        "text_repetition": q_text_repetition,
         "bpe_merge_apply": q_bpe_merge_apply,
         "line_dedup": q_line_dedup,
         "url_domain_ops": q_url_domain_ops,
@@ -3359,6 +3483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_repetition": o_text_repetition(),
         "bpe_merge_apply": o_bpe_merge_apply(),
         "line_dedup": o_line_dedup(),
         "url_domain_ops": o_url_domain_ops(),

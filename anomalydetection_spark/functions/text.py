@@ -883,3 +883,134 @@ def line_dedup(docs: DataFrame, min_docs: int = 2,
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       ngram_ns: tuple = (2, 3)) -> DataFrame:
+    """Gopher-style WITHIN-document repetition signals (Rae et al. 2021,
+    §A1.1 — the half of the quality rule set ``gopher_quality_signals``
+    does not cover: its ``dup_2gram_frac`` is a distinct-ratio;
+    these are the duplicate-line and character-mass rules):
+
+    * ``n_lines`` / ``dup_lines`` — non-blank lines and occurrences
+      beyond each line's first (EXACT line match — within-doc repeats,
+      unlike ``line_dedup``'s normalized cross-document boilerplate);
+    * ``line_chars`` / ``dup_line_chars`` — the same two, weighted by
+      line length (character mass);
+    * ``top{n}gram_chars`` per n — the character mass of the most
+      character-covering token n-gram: max over grams of
+      occurrences × chars(gram). (Gopher ranks by raw occurrence
+      count; ranking by covered characters is the same signal made
+      deterministic under count ties between grams of different
+      lengths, and is exact-integer so independent engines agree
+      bit-for-bit.);
+    * ``text_chars`` — total document characters (the n-gram
+      denominator);
+    * ``*_frac`` — the ratios above, ROUND 8, 0.0 on an empty
+      denominator (display/threshold columns);
+    * ``rep_pass`` — Gopher-shaped bounds evaluated in INTEGER
+      cross-multiplied form (``dup_lines·100 ≤ 30·n_lines``,
+      ``dup_line_chars·100 ≤ 20·line_chars``,
+      ``top2·100 ≤ 20·text_chars``, ``top3·100 ≤ 18·text_chars``)
+      so boundary docs can never flip on float rounding.
+
+    Scale shape: line metrics are one (id, line)-keyed aggregation with
+    map-side combine, n-gram metrics one (id, n, gram)-keyed aggregation
+    (shuffle volume ≈ corpus token count — the same shape as ``tfidf``
+    / ``vocabulary``), both collapsing to one row per document before
+    the final broadcast-sized joins. Blank / whitespace-only lines are
+    structural separators and excluded (mirrors ``line_dedup``). NULL
+    ids/texts are dropped (keyed per-document metrics are undefined for
+    them; NotNullCheck owns flagging)."""
+    for n in ngram_ns:
+        if n < 1:
+            raise ValueError(f"ngram sizes must be >= 1: {ngram_ns}")
+    base = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    lines = (
+        base.select("id", F.explode(F.split("text", "\n")).alias("line"))
+        .filter(F.trim("line") != "")
+        .groupBy("id", "line").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_lines"),
+            F.sum(F.col("c") - 1).cast("bigint").alias("dup_lines"),
+            F.sum(F.col("c") * F.length("line")).cast("bigint")
+            .alias("line_chars"),
+            F.sum((F.col("c") - 1) * F.length("line")).cast("bigint")
+            .alias("dup_line_chars"),
+        )
+    )
+
+    tk = base.select(
+        "id", F.filter(F.split("text", "[ \n]+"), lambda t: t != "")
+        .alias("tk"),
+    )
+    gram_frames = []
+    for n in ngram_ns:
+        grams = F.when(
+            F.size("tk") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (n - 1)),
+                _make_gram_slicer(n),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        gram_frames.append(
+            tk.select("id", F.lit(n).alias("n"),
+                      F.explode(grams).alias("g"))
+        )
+    g_all = gram_frames[0]
+    for gf in gram_frames[1:]:
+        g_all = g_all.unionByName(gf)
+    top = (
+        g_all.groupBy("id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id", "n")
+        .agg(F.max(F.col("c") * F.length("g")).cast("bigint").alias("tc"))
+        .groupBy("id").pivot("n", list(ngram_ns)).agg(F.first("tc"))
+    )
+    top = top.select(
+        "id", *[F.col(str(n)).alias(f"top{n}gram_chars") for n in ngram_ns]
+    )
+
+    out = (
+        base.select("id", F.length("text").cast("bigint").alias("text_chars"))
+        .join(lines, "id", "left").join(top, "id", "left")
+    )
+    zero = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint")  # noqa: E731
+    ints = {c: zero(c) for c in
+            ["n_lines", "dup_lines", "line_chars", "dup_line_chars"]
+            + [f"top{n}gram_chars" for n in ngram_ns]}
+    frac = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / den, 8)
+    ).otherwise(F.lit(0.0))
+    gram_pass = [
+        ints[f"top{n}gram_chars"] * 100 <= lim * F.col("text_chars")
+        for n, lim in zip(ngram_ns, (20, 18, 16, 15))
+    ]
+    passed = (
+        (ints["dup_lines"] * 100 <= 30 * ints["n_lines"])
+        & (ints["dup_line_chars"] * 100 <= 20 * ints["line_chars"])
+    )
+    for p in gram_pass:
+        passed = passed & p
+    return out.select(
+        F.col("id").alias(id_col),
+        "text_chars",
+        *[ints[c].alias(c) for c in ints],
+        frac(ints["dup_lines"], F.col("n_lines")).alias("dup_line_frac"),
+        frac(ints["dup_line_chars"], F.col("line_chars"))
+        .alias("dup_line_char_frac"),
+        *[frac(ints[f"top{n}gram_chars"], F.col("text_chars"))
+          .alias(f"top{n}gram_frac") for n in ngram_ns],
+        passed.alias("rep_pass"),
+    )
+
+
+def _make_gram_slicer(n: int):
+    """Single-param closure for the gram transform (the 2-param lambda
+    receives (element, ARRAY-INDEX) — the F.transform trap; see
+    ``token_shingles``)."""
+    return lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, n))

@@ -963,3 +963,35 @@ def test_lang_id_accepts_externally_trained_profiles(spark):
         "lang string, tg string")
     out = {r["id"]: r["guess"] for r in lang_id(docs, external).collect()}
     assert out == {0: "en", 1: "de", 2: "fr"}
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher within-doc repetition family (repetition_signals): every
+    count verified against hand-computed values on a fixture with a
+    known duplicate line, a one-token doc (no 2-grams), a NULL text
+    (dropped) and a blank-only doc (all-zero row, passes)."""
+    from anomalydetection_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b\na b\n  \nc d"), (2, "x"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x.asDict() for x in repetition_signals(df).collect()}
+    a = r[1]
+    # lines 'a b'x2 + 'c d' (blank excluded); tokens a b a b c d:
+    # top 2-gram 'a b' 2x3 chars; 3-grams all unique -> max len 5
+    assert (a["n_lines"], a["dup_lines"], a["line_chars"],
+            a["dup_line_chars"]) == (3, 1, 9, 3)
+    assert (a["text_chars"], a["top2gram_chars"], a["top3gram_chars"]) \
+        == (14, 6, 5)
+    assert a["dup_line_frac"] == pytest.approx(0.33333333)
+    assert a["rep_pass"] is False          # 1/3 dup lines > 0.30 bound
+    b = r[2]
+    assert (b["n_lines"], b["top2gram_chars"], b["rep_pass"]) == (1, 0, True)
+    c = r[4]
+    assert (c["n_lines"], c["line_chars"], c["text_chars"]) == (0, 0, 0)
+    assert c["rep_pass"] is True
+    assert 3 not in r and len(r) == 3
+
+    with pytest.raises(ValueError, match="ngram"):
+        repetition_signals(df, ngram_ns=(2, 0))
