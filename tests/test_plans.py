@@ -302,3 +302,18 @@ def test_packed_series_kernel_spreads_python_stage(spark):
     out4 = run_time_series(df, ["sid"], "period", "value",
                            season=4, min_recent=8, num_partitions=4)
     assert "RoundRobinPartitioning(4" in plan_of(out4)
+
+
+def test_repetition_signals_plan_two_level_aggs_no_cross_product(spark):
+    """repetition_signals' scale contract: line and n-gram metrics are
+    keyed aggregations with map-side partial combine (the tfidf shuffle
+    shape) and the doc-level joins never degenerate into a cross
+    product — at 10^12 docs a NestedLoop/Cartesian here is fatal."""
+    from anomalydetection_spark.functions.text import repetition_signals
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(repetition_signals(docs))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # two-level aggregation: partial_count before the exchange for both
+    # the (id, line) and (id, n, gram) groupings
+    assert plan.count("partial_count") >= 2
